@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..data.modality_info import MODALITY_INFO, ModalitySpec
@@ -385,13 +386,18 @@ class FourM(nn.Module):
 
     # ------------------------------------------------------------------ loss
 
-    def _decoder_stream_length(self, mod: str) -> int:
+    def _decoder_stream_length(self, mod: str, mod_dict) -> int:
+        """Length this modality contributes to the decoder stream, from the actual
+        data shapes (seq tensors are (max_tokens+1)*2 long — masking.py layout —
+        and lose one position to the AR shift)."""
         spec = self.config.spec(mod)
-        n = spec.resolved_max_tokens()
+        t = mod_dict[mod]["tensor"]
+        n = int(np.prod(t.shape[1:])) if t.ndim > 2 else t.shape[1]
         return n - 1 if spec.type in SEQ_TYPES else n
 
     def forward_loss(
-        self, y, target_ids, decoder_modid, mods, num_decoder_tokens, loss_type: str = "mod"
+        self, y, target_ids, decoder_modid, mods, mod_dict, num_decoder_tokens,
+        loss_type: str = "mod",
     ):
         """Per-modality CE via exact fixed-capacity buckets (fm.py:547-637).
 
@@ -405,7 +411,7 @@ class FourM(nn.Module):
         total_cnt = 0.0
         for mod in mods:
             spec = self.config.spec(mod)
-            cap = min(self._decoder_stream_length(mod), num_decoder_tokens or M, M)
+            cap = min(self._decoder_stream_length(mod, mod_dict), num_decoder_tokens or M, M)
             bucket = select_tokens(decoder_modid != spec.id, cap)
             y_m = gather_tokens(y, bucket)  # (B, C, D)
             tgt = jnp.take_along_axis(target_ids, bucket, axis=1)
@@ -455,7 +461,7 @@ class FourM(nn.Module):
         if return_logits:
             return {mod: self.mod_logits(mod, y) for mod in target_mods}
         loss, mod_loss, mod_count = self.forward_loss(
-            y, target_ids, dec_modid, target_mods, num_decoder_tokens, loss_type
+            y, target_ids, dec_modid, target_mods, mod_dict, num_decoder_tokens, loss_type
         )
         return loss, (mod_loss, mod_count)
 
