@@ -1,0 +1,8 @@
+from .mesh import (
+    batch_sharding,
+    fsdp_sharding_for,
+    make_mesh,
+    params_shardings,
+    replicated,
+)
+from .train import TrainState, build_train_step, init_train_state

@@ -1,0 +1,127 @@
+"""SPMD training step builder.
+
+TPU-native replacement for the reference DDP/FSDP training loops
+(run_training_4m.py:676-795, run_training_4m_fsdp.py:516-555): one jitted function
+over a (data, fsdp, tensor) mesh. Gradient all-reduce, parameter all-gather and
+optimizer-state sharding are all expressed as shardings; XLA inserts the ICI/DCN
+collectives (no NCCL analogue needed). Gradient accumulation is a `lax.scan` over
+microbatches (the pjit analogue of DDP no_sync accumulation, run_training_4m.py:721).
+
+bf16 policy: params and optimizer state stay fp32; the model computes in bf16 when
+configured (FourMConfig.dtype), gradients are accumulated in fp32 — matching the
+reference's AMP-with-fp32-master-weights setup without a loss scaler (bf16 needs none).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_sharding, params_shardings, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def init_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    example_batch,
+    num_encoder_tokens: int,
+    num_decoder_tokens: int,
+    rng: jax.Array,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[TrainState, Optional[Any]]:
+    """Initialize params + optimizer state, optionally sharded over a mesh.
+
+    With a mesh, init runs inside jit with output shardings so the fp32 master
+    params are *born sharded* (no host-memory spike for XL-scale models).
+    """
+    def _init(rng):
+        params = model.init(rng, example_batch, num_encoder_tokens, num_decoder_tokens)
+        opt_state = tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    if mesh is None:
+        return _init(rng), None
+
+    from .mesh import fsdp_sharding_for
+
+    shapes = jax.eval_shape(_init, rng)
+    shardings = jax.tree.map(lambda s: fsdp_sharding_for(mesh, s), shapes)
+    state = jax.jit(_init, out_shardings=shardings)(rng)
+    return state, shardings
+
+
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_encoder_tokens: int,
+    num_decoder_tokens: int,
+    loss_type: str = "mod",
+    grad_accum_steps: int = 1,
+    mesh: Optional[Mesh] = None,
+    state_shardings=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the jitted train step.
+
+    batch layout: {mod: {key: array}} with leading batch axis; when
+    grad_accum_steps > 1, the leading axis is (accum, micro_batch, ...).
+    """
+
+    def loss_fn(params, batch, rng):
+        loss, (mod_loss, mod_count) = model.apply(
+            params, batch, num_encoder_tokens, num_decoder_tokens,
+            loss_type=loss_type, deterministic=False, rngs={"dropout": rng},
+        )
+        return loss, (mod_loss, mod_count)
+
+    def step_fn(state: TrainState, batch, rng: jax.Array):
+        if grad_accum_steps == 1:
+            (loss, (mod_loss, mod_count)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+        else:
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                mb, r = xs
+                (l, _aux), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params, mb, r)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + l), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            rngs = jax.random.split(rng, grad_accum_steps)
+            (grads, loss), _ = jax.lax.scan(micro, (zero_grads, 0.0), (batch, rngs))
+            grads = jax.tree.map(lambda g: g / grad_accum_steps, grads)
+            loss = loss / grad_accum_steps
+            mod_loss, mod_count = {}, {}
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            **{f"loss_{m}": v for m, v in mod_loss.items()},
+        }
+        return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, bsh, rep),
+        out_shardings=(state_shardings, rep),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -1,0 +1,136 @@
+"""SPMD training tests on a virtual 8-device CPU mesh (SURVEY.md §4:
+single-host multi-device tests replace the reference's "real torchrun only"
+distributed testing)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fourm_tpu.models import FourM, create_fourm_config
+from fourm_tpu.parallel import (
+    build_train_step,
+    fsdp_sharding_for,
+    init_train_state,
+    make_mesh,
+)
+from fourm_tpu.utils.optim import (
+    cosine_schedule,
+    create_optimizer,
+    make_schedule,
+    weight_decay_mask,
+)
+
+
+def tiny_batch(B, rng):
+    n = 196
+    cap = 64
+    return {
+        "tok_rgb@224": {
+            "tensor": jnp.asarray(rng.randint(0, 16384, (B, n)).astype(np.int32)),
+            "input_mask": jnp.asarray(rng.rand(B, n) > 0.5),
+            "target_mask": jnp.asarray(rng.rand(B, n) > 0.5),
+            "decoder_attention_mask": jnp.zeros((B, n), jnp.int32),
+        },
+        "caption": {
+            "tensor": jnp.asarray(rng.randint(1, 30000, (B, cap)).astype(np.int32)),
+            "input_mask": jnp.asarray(np.tile(np.arange(cap) >= 8, (B, 1))),
+            "target_mask": jnp.asarray(np.tile((np.arange(cap) < 8) | (np.arange(cap) >= 24), (B, 1))),
+            "decoder_attention_mask": jnp.ones((B, cap), jnp.int32),
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "tests require the 8-device CPU mesh"
+    return make_mesh(data=4, fsdp=2)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = create_fourm_config(
+        "fm_tiny_6e_6d_gelu",
+        encoder_modalities=("tok_rgb@224", "caption"),
+        decoder_modalities=("tok_rgb@224", "caption"),
+    )
+    return FourM(cfg)
+
+
+def test_schedules():
+    sched = cosine_schedule(1.0, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1.0, atol=1e-6)
+    assert float(sched(100)) < 0.01
+    isq = make_schedule("inverse_sqrt", 1.0, 100, 10, cooldown_steps=10)
+    assert float(isq(5)) == 0.5
+    assert float(isq(50)) < 1.0
+
+
+def test_weight_decay_mask(tiny_setup):
+    model = tiny_setup
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(2, rng)
+    params = model.init(jax.random.key(0), batch, 32, 32)
+    mask = weight_decay_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    decayed = {".".join(str(k) for k in path): v for path, v in flat}
+    # embeddings / norms / biases excluded, attention+mlp kernels included
+    for name, v in decayed.items():
+        if "token_emb" in name or "mask_token" in name or "mod_emb" in name:
+            assert v is False or v == False, name  # noqa: E712
+        if "kernel" in name and ("qkv" in name or "fc1" in name):
+            assert v, name
+
+
+def test_fsdp_sharding_rule(mesh):
+    s = fsdp_sharding_for(mesh, jax.ShapeDtypeStruct((768, 768), jnp.float32))
+    assert "fsdp" in str(s.spec)
+    s2 = fsdp_sharding_for(mesh, jax.ShapeDtypeStruct((3,), jnp.float32))
+    assert s2.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_runs_and_learns(mesh, tiny_setup):
+    model = tiny_setup
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(8, rng)
+
+    sched = cosine_schedule(1e-3, 100, 0)
+    example = jax.tree.map(lambda x: x[:1], batch)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(r, example, 32, 32), jax.random.key(0)
+    )
+    tx = create_optimizer(params_shape, sched, weight_decay=0.05, clip_grad=1.0)
+
+    state, shardings = init_train_state(
+        model, tx, example, 32, 32, jax.random.key(0), mesh=mesh
+    )
+    step = build_train_step(
+        model, tx, 32, 32, mesh=mesh, state_shardings=shardings, donate=False
+    )
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 5
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_grad_accumulation(mesh, tiny_setup):
+    model = tiny_setup
+    rng = np.random.RandomState(1)
+    batch = tiny_batch(8, rng)
+    accum_batch = jax.tree.map(lambda x: x.reshape((2, 4) + x.shape[1:]), batch)
+
+    sched = cosine_schedule(1e-3, 100, 0)
+    example = jax.tree.map(lambda x: x[:1], batch)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(r, example, 32, 32), jax.random.key(0)
+    )
+    tx = create_optimizer(params_shape, sched)
+    state, _ = init_train_state(model, tx, example, 32, 32, jax.random.key(0))
+    step = build_train_step(model, tx, 32, 32, grad_accum_steps=2, donate=False)
+    new_state, metrics = step(state, accum_batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
