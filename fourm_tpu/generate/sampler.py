@@ -1,0 +1,437 @@
+"""GenerationSampler: chained any-to-any generation, fully jit-compiled.
+
+TPU-native redesign of the reference sampler (fourm/models/generate.py:323-1273):
+
+  * every step function is ONE jitted program with fixed shapes, compiled once per
+    (target modality, scheme, CFG on/off) — num_select, temperature and cfg_scale
+    are traced scalars, so all MaskGIT/ROAR steps of a schedule share a compile;
+  * MaskGIT/ROAR decode over the target's FULL token grid with key-restricted
+    self-attention instead of gathering the (dynamically-shaped) masked subset —
+    bitwise-equal logits, zero recompiles (see FourM.forward_generation_img);
+  * classifier-free guidance runs cond & uncond in one batch-doubled forward
+    (the reference runs two sequential passes, generate.py:665-703);
+  * autoregressive decoding uses per-layer KV caches + cross-attention K/V
+    computed once at prefill, inside a lax.while_loop with per-sample EOS early
+    exit (the reference re-runs the full decoder per token with a growing causal
+    mask and no cache, generate.py:888-918);
+  * multi-condition weighted guidance stacks all conditions into one forward.
+
+Host-side work is limited to schedule iteration and span-merge of finished
+sequences (tokenizer round-trip, inherently host work).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.modality_info import MODALITY_INFO
+from ..ops.sampling import NEG_INF, top_k_top_p_filtering
+from ..utils.text_tokenizer import get_sentinel_to_id_mapping, merge_span_masking
+from .init_helpers import EOS_ID, PAD_ID, S1_ID
+
+IMG = "img"
+SEQ = ("seq", "seq_token")
+
+
+def _sample_traced_temp(rng, logits, temperature):
+    """Sample with a *traced* temperature; temperature < 1e-9 falls back to argmax
+    with probability 1 (reference sample_tokens, generate.py:361-370)."""
+    logits = logits.astype(jnp.float32)
+    safe_t = jnp.maximum(temperature, 1e-9)
+    scaled = logits / safe_t
+    cat = jax.random.categorical(rng, scaled, axis=-1)
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    greedy = temperature < 1e-9
+    samples = jnp.where(greedy, greedy_tok, cat)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    p = jnp.take_along_axis(probs, samples[..., None], axis=-1)[..., 0]
+    p = jnp.where(greedy, 1.0, p)
+    return samples, p
+
+
+def _ranks_desc(scores: jnp.ndarray) -> jnp.ndarray:
+    """ranks[i] = how many entries (with index tie-break) precede i in descending
+    score order. Fixed-shape replacement for topk with traced k."""
+    order = jnp.argsort(-scores, axis=-1, stable=True)
+    ranks = jnp.argsort(order, axis=-1)
+    return ranks
+
+
+def _empty_cond_tree(mod_dict, cond_mods: Sequence[str]):
+    """jnp version of the empty-modality transforms (generate.py:30-80), applied to
+    conditioning modalities to build the CFG unconditional branch."""
+    out = {m: dict(d) for m, d in mod_dict.items()}
+    for mod in cond_mods:
+        spec = MODALITY_INFO[mod]
+        d = out[mod]
+        if spec.type == "img":
+            d["input_mask"] = jnp.ones_like(d["input_mask"])
+        elif spec.type in SEQ:
+            t = jnp.zeros_like(d["tensor"])
+            t = t.at[:, 0].set(S1_ID).at[:, 1].set(S1_ID).at[:, -1].set(S1_ID + 1)
+            d["tensor"] = t
+            im = jnp.ones_like(d["input_mask"])
+            d["input_mask"] = im.at[:, 0].set(False)
+        elif spec.type == "seq_emb":
+            d["tensor"] = jnp.zeros_like(d["tensor"])
+            im = jnp.ones_like(d["input_mask"])
+            d["input_mask"] = im.at[:, 0].set(False)
+        else:
+            raise ValueError(f"cannot empty modality type {spec.type}")
+        out[mod] = d
+    return out
+
+
+def _tree_concat(dicts):
+    """Concatenate a list of mod dicts along the batch axis."""
+    out = {}
+    for mod in dicts[0]:
+        out[mod] = {
+            k: jnp.concatenate([d[mod][k] for d in dicts], axis=0)
+            for k in dicts[0][mod]
+        }
+    return out
+
+
+class GenerationSampler:
+    """Wraps a FourM model + params for chained generation.
+
+    Usage:
+      sampler = GenerationSampler(model, variables, text_tokenizer)
+      out = sampler.generate(mod_dict, schedule, rng=jax.random.key(0))
+    """
+
+    def __init__(self, model, variables, text_tokenizer=None,
+                 top_k: float = 0.0, top_p: float = 0.0):
+        self.model = model
+        self.variables = variables
+        self.text_tokenizer = text_tokenizer
+        self.top_k = top_k
+        self.top_p = top_p
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------- img steps
+
+    def _img_step_fn(self, target_mod: str, scheme: str, cond_mods: Tuple[str, ...],
+                     use_cfg: bool, num_weights: int = 0):
+        """Build/cache the jitted MaskGIT/ROAR step for this configuration."""
+        key = ("img", target_mod, scheme, cond_mods, use_cfg, num_weights)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model, top_k, top_p = self.model, self.top_k, self.top_p
+
+        def fn(variables, mod_dict, num_select, temperature, cfg_scale, rng):
+            d_t = mod_dict[target_mod]
+            B = d_t["tensor"].shape[0]
+            still = ~d_t["target_mask"]  # True = still to decode
+            rng_sel, rng_samp = jax.random.split(rng)
+
+            if scheme == "roar":
+                # random subset of still-masked positions, this step only
+                noise = jax.random.uniform(rng_sel, still.shape)
+                sel_ranks = _ranks_desc(jnp.where(still, noise, -jnp.inf))
+                sa_valid = (sel_ranks < num_select) & still
+            else:  # maskgit: all still-masked positions are decoder tokens
+                sa_valid = still
+
+            if use_cfg:
+                uncond = _empty_cond_tree(mod_dict, cond_mods)
+                md = _tree_concat([mod_dict, uncond])
+                sa = jnp.concatenate([sa_valid, sa_valid], axis=0)
+            else:
+                md, sa = mod_dict, sa_valid
+
+            logits = model.apply(
+                variables, md, target_mod, sa, method="forward_generation_img"
+            ).astype(jnp.float32)
+            if use_cfg:
+                lc, lu = logits[:B], logits[B:]
+                logits = lu + cfg_scale * (lc - lu)
+
+            if top_k or top_p:
+                logits = top_k_top_p_filtering(logits, top_k, top_p)
+            samples, probs = _sample_traced_temp(rng_samp, logits, temperature)
+            samples = samples.astype(d_t["tensor"].dtype)
+
+            if scheme == "roar":
+                accept = sa_valid
+            else:
+                conf = jnp.where(still, probs, -jnp.inf)
+                ranks = _ranks_desc(conf)
+                accept = (ranks < num_select) & still
+
+            tensor = jnp.where(accept, samples, d_t["tensor"])
+            input_mask = d_t["input_mask"] & ~accept
+            target_mask = d_t["target_mask"] | accept
+            return tensor, input_mask, target_mask
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    def _multi_guided_img_step_fn(self, target_mod: str, scheme: str, n_conds: int):
+        """Multi-condition weighted guidance (generate.py:705-848):
+        logits = l_uncond + sum_i w_i (l_cond_i - l_uncond)."""
+        key = ("img_multi", target_mod, scheme, n_conds)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, top_k, top_p = self.model, self.top_k, self.top_p
+
+        def fn(variables, uncond_dict, cond_dicts, weights, num_select, temperature, rng):
+            d_t = uncond_dict[target_mod]
+            B = d_t["tensor"].shape[0]
+            still = ~d_t["target_mask"]
+            rng_sel, rng_samp = jax.random.split(rng)
+            if scheme == "roar":
+                noise = jax.random.uniform(rng_sel, still.shape)
+                sel_ranks = _ranks_desc(jnp.where(still, noise, -jnp.inf))
+                sa_valid = (sel_ranks < num_select) & still
+            else:
+                sa_valid = still
+
+            md = _tree_concat(list(cond_dicts) + [uncond_dict])
+            sa = jnp.concatenate([sa_valid] * (n_conds + 1), axis=0)
+            logits = model.apply(
+                variables, md, target_mod, sa, method="forward_generation_img"
+            ).astype(jnp.float32)
+            lu = logits[n_conds * B :]
+            guided = lu
+            for i in range(n_conds):
+                guided = guided + weights[i] * (logits[i * B : (i + 1) * B] - lu)
+
+            if top_k or top_p:
+                guided = top_k_top_p_filtering(guided, top_k, top_p)
+            samples, probs = _sample_traced_temp(rng_samp, guided, temperature)
+            samples = samples.astype(d_t["tensor"].dtype)
+            if scheme == "roar":
+                accept = sa_valid
+            else:
+                conf = jnp.where(still, probs, -jnp.inf)
+                accept = (_ranks_desc(conf) < num_select) & still
+            tensor = jnp.where(accept, samples, d_t["tensor"])
+            input_mask = d_t["input_mask"] & ~accept
+            target_mask = d_t["target_mask"] | accept
+            return tensor, input_mask, target_mask
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # -------------------------------------------------------------- AR steps
+
+    def _ar_step_fn(self, target_mod: str, cond_mods: Tuple[str, ...], use_cfg: bool,
+                    max_len: int):
+        """KV-cached autoregressive decoding of a sequence modality."""
+        key = ("ar", target_mod, cond_mods, use_cfg, max_len)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model, top_k, top_p = self.model, self.top_k, self.top_p
+
+        def fn(variables, mod_dict, temperature, cfg_scale, rng):
+            d_t = mod_dict[target_mod]
+            B = d_t["tensor"].shape[0]
+
+            # start token = first target-region token ([S_1]); eos = last one.
+            from ..ops.token_select import select_tokens
+
+            tgt_idx = select_tokens(d_t["target_mask"], min(max_len, d_t["tensor"].shape[1]))
+            tgt_ids = jnp.take_along_axis(d_t["tensor"], tgt_idx, axis=1)
+            n_valid = jnp.sum(~d_t["target_mask"], axis=1)  # (B,)
+            start = tgt_ids[:, :1].astype(jnp.int32)  # (B, 1)
+            eos_tok = jnp.take_along_axis(
+                tgt_ids, jnp.maximum(n_valid[:, None] - 1, 0).astype(jnp.int32), axis=1
+            )[:, 0]  # (B,)
+
+            if use_cfg:
+                uncond = _empty_cond_tree(mod_dict, cond_mods)
+                md = _tree_concat([mod_dict, uncond])
+            else:
+                md = mod_dict
+            Bf = (2 if use_cfg else 1) * B
+
+            cross_kvs, enc_mask, y_emb = model.apply(
+                variables, md, target_mod, max_len, method="ar_prefill"
+            )
+            caches = model.apply(
+                variables, Bf, max_len, method="init_kv_caches"
+            )
+
+            out_ids = jnp.zeros((B, max_len), jnp.int32)
+            out_ids = out_ids.at[:, 0].set(start[:, 0])
+            done = start[:, 0] == eos_tok
+            # generate at most as many tokens as the target region holds
+            # (reference loops seq_len = gathered-target-length times, :888)
+            bound = jnp.minimum(jnp.max(n_valid), max_len - 1)
+
+            def cond(carry):
+                t, _tok, _caches, _out, done, _rng = carry
+                return (t < bound) & ~jnp.all(done)
+
+            def body(carry):
+                t, tok, caches, out, done, rng = carry
+                rng, rng_s = jax.random.split(rng)
+                tok_f = jnp.concatenate([tok, tok], axis=0) if use_cfg else tok
+                y_t = model.apply(variables, target_mod, tok_f, method="embed_target_token")
+                y_t = y_t + jax.lax.dynamic_slice_in_dim(y_emb, t, 1, axis=1)
+                y_out, caches = model.apply(
+                    variables, y_t, caches, cross_kvs, enc_mask, t,
+                    method="decode_one_token",
+                )
+                logits = model.apply(
+                    variables, target_mod, y_out, method="mod_logits"
+                )[:, 0].astype(jnp.float32)
+                if use_cfg:
+                    lc, lu = logits[:B], logits[B:]
+                    logits = lu + cfg_scale * (lc - lu)
+                if top_k or top_p:
+                    logits = top_k_top_p_filtering(logits, top_k, top_p)
+                sample, _ = _sample_traced_temp(rng_s, logits, temperature)
+                sample = sample.astype(jnp.int32)
+                sample = jnp.where(done, PAD_ID, sample)  # freeze finished rows
+                out = jax.lax.dynamic_update_slice_in_dim(out, sample[:, None], t + 1, axis=1)
+                done = done | (sample == eos_tok)
+                return (t + 1, sample[:, None], caches, out, done, rng)
+
+            init = (jnp.int32(0), start, caches, out_ids, done, rng)
+            t_final, _, _, out_ids, done, _ = jax.lax.while_loop(cond, body, init)
+            length = t_final + 1
+            return out_ids, length
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
+    # ---------------------------------------------------------- merge (host)
+
+    def merge_sequences(self, mod_dict, out_ids: np.ndarray, target_mod: str,
+                        text_tokenizer=None) -> Dict:
+        """Splice the generated span tokens back into the input sequence and
+        re-register the modality as a full input (reference generate.py:550-626).
+        Host-side; output arrays use the fixed (max_tokens+1)*2 layout."""
+        tok = text_tokenizer or self.text_tokenizer
+        sentinel_ids = set(get_sentinel_to_id_mapping(tok).values())
+        default_sentinel = tok.token_to_id("[S_1]")
+        d = jax.tree.map(np.asarray, mod_dict[target_mod])
+        B = d["tensor"].shape[0]
+        spec = MODALITY_INFO[target_mod]
+        L = (spec.resolved_max_tokens() + 1) * 2
+
+        tensors = np.full((B, L), PAD_ID, dtype=np.int32)
+        input_mask = np.ones((B, L), dtype=bool)
+        for b in range(B):
+            inp = d["tensor"][b][~d["input_mask"][b]].tolist()
+            if len(inp) == 0:
+                inp = [default_sentinel]
+            preds = [int(t) for t in out_ids[b] if t != PAD_ID]
+            merged = merge_span_masking(inp, preds, sentinel_ids)[:L]
+            tensors[b, : len(merged)] = merged
+            input_mask[b, : len(merged)] = False
+        mod_dict[target_mod] = {
+            "tensor": jnp.asarray(tensors),
+            "input_mask": jnp.asarray(input_mask),
+            "target_mask": jnp.ones((B, L), dtype=bool),
+            "decoder_attention_mask": jnp.zeros((B, L), dtype=np.int32),
+        }
+        return mod_dict
+
+    # ------------------------------------------------------------- generate
+
+    def generate(self, mod_dict, schedule: List[dict], rng=None, text_tokenizer=None,
+                 verbose: bool = False, seed: Optional[int] = None):
+        """Run a chained generation schedule (reference generate.py:1028-1095)."""
+        if rng is None:
+            rng = jax.random.key(seed if seed is not None else 0)
+        mod_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
+
+        for step_info in schedule:
+            rng, rng_step = jax.random.split(rng)
+            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step, text_tokenizer)
+        return mod_dict
+
+    def generate_iter(self, mod_dict, schedule, rng=None, text_tokenizer=None,
+                      seed: Optional[int] = None):
+        """Step-by-step iterator variant (reference generate.py:1098-1166)."""
+        if rng is None:
+            rng = jax.random.key(seed if seed is not None else 0)
+        mod_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
+        for step_info in schedule:
+            rng, rng_step = jax.random.split(rng)
+            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step, text_tokenizer)
+            yield mod_dict
+
+    def _generate_one_step(self, mod_dict, step_info, rng_step, text_tokenizer=None):
+        target_mod = step_info["target_domain"]
+        temp = float(step_info["temperature"])
+        cfg_scale = step_info.get("cfg_scale", 1.0)
+        conds = tuple(step_info.get("cfg_cond_domains", ()))
+        use_cfg = (not isinstance(cfg_scale, (list, tuple))) and cfg_scale != 1.0 and len(conds) > 0
+        spec = MODALITY_INFO[target_mod]
+
+        if spec.type == "img":
+            scheme = step_info["scheme"].lower()
+            num_select = int(step_info["num_tokens"])
+            fn = self._img_step_fn(target_mod, scheme, conds if use_cfg else (), use_cfg)
+            tensor, input_mask, target_mask = fn(
+                self.variables, mod_dict,
+                jnp.int32(num_select), jnp.float32(temp), jnp.float32(cfg_scale if use_cfg else 1.0),
+                rng_step,
+            )
+            d = dict(mod_dict[target_mod])
+            d.update(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
+            mod_dict[target_mod] = d
+        elif spec.type in SEQ:
+            max_len = min(
+                spec.resolved_max_tokens(), int(mod_dict[target_mod]["tensor"].shape[1])
+            )
+            fn = self._ar_step_fn(target_mod, conds if use_cfg else (), use_cfg, max_len)
+            out_ids, _length = fn(
+                self.variables, mod_dict, jnp.float32(temp),
+                jnp.float32(cfg_scale if use_cfg else 1.0), rng_step,
+            )
+            mod_dict = self.merge_sequences(
+                mod_dict, np.asarray(out_ids), target_mod, text_tokenizer
+            )
+        else:
+            raise ValueError(f"invalid target modality type {spec.type}")
+        return mod_dict
+
+    def generate_multi_guided(self, uncond_dict, cond_dicts, schedule, rng=None,
+                              text_tokenizer=None, seed: Optional[int] = None):
+        """Multi-condition weighted guidance over img targets
+        (reference generate.py:1168-1227). cfg_scale in each step must be a list of
+        per-condition weights."""
+        if rng is None:
+            rng = jax.random.key(seed if seed is not None else 0)
+        uncond_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in uncond_dict.items()}
+        cond_dicts = [
+            {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in cd.items()} for cd in cond_dicts
+        ]
+        n = len(cond_dicts)
+        for step_info in schedule:
+            rng, rng_step = jax.random.split(rng)
+            target_mod = step_info["target_domain"]
+            spec = MODALITY_INFO[target_mod]
+            if spec.type != "img":
+                raise ValueError("multi-guided generation currently supports img targets")
+            scheme = step_info["scheme"].lower()
+            weights = jnp.asarray(step_info["cfg_scale"], jnp.float32)
+            fn = self._multi_guided_img_step_fn(target_mod, scheme, n)
+            tensor, input_mask, target_mask = fn(
+                self.variables, uncond_dict, tuple(cond_dicts), weights,
+                jnp.int32(step_info["num_tokens"]), jnp.float32(step_info["temperature"]),
+                rng_step,
+            )
+            upd = dict(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
+            for dd in [uncond_dict] + cond_dicts:
+                if target_mod in dd:
+                    d = dict(dd[target_mod])
+                    d.update(upd)
+                    dd[target_mod] = d
+        return uncond_dict

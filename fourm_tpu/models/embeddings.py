@@ -245,6 +245,23 @@ class SequenceDecoderEmbedding(nn.Module):
             return self.token_emb.attend(x)
         return self.to_logits(x)
 
+    def token_embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Raw token embedding lookup (zeroing padding), for AR decoding."""
+        x = self.token_emb(ids)
+        return jnp.where((ids == self.padding_idx)[..., None], 0.0, x).astype(self.dtype)
+
+    def pos_table(self, max_len: int) -> jnp.ndarray:
+        """Positional table slice (max_len, D) for compacted AR positions."""
+        if self.sincos_pos_emb:
+            table = build_1d_sincos_posemb(self.max_sincos_pos_emb, self.dim)[: self.max_length]
+        else:
+            table = self.pos_emb
+        n = min(max_len, self.max_length)
+        out = table[:n]
+        if max_len > n:  # positions beyond max_length clamp to posemb 0 (ref :129-131)
+            out = jnp.concatenate([out, jnp.broadcast_to(table[:1], (max_len - n, table.shape[1]))])
+        return out
+
     def __call__(self, tensor, target_mask):
         x, pos, ids = self.embed(tensor, target_mask)
         _ = self.logits(x)

@@ -191,6 +191,7 @@ class FourM(nn.Module):
 
         act = _act(cfg.act)
         block_kw = dict(
+            dim=cfg.dim,
             num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
             proj_bias=cfg.proj_bias, mlp_bias=cfg.mlp_bias, act=act,
             gated_mlp=cfg.gated_mlp, qk_norm=cfg.qk_norm, norm_bias=cfg.norm_bias,
@@ -383,6 +384,74 @@ class FourM(nn.Module):
     def mod_logits(self, mod: str, y: jnp.ndarray) -> jnp.ndarray:
         """Logits for one modality over all given decoder outputs."""
         return self.decoder_embeddings[mod].logits(y)
+
+    # ------------------------------------------------ generation forwards
+
+    def forward_generation_img(self, mod_dict, target_mod: str, sa_keys_valid):
+        """Generation forward for an img-type target modality over its FULL token
+        grid (fixed shape). Equivalent to reference forward_enc_dec_maskgit/
+        roar_batched (generate.py:628-765), which gather only the currently-masked
+        positions (dynamic shapes): here every grid position is a decoder query but
+        self-attention keys are restricted to `sa_keys_valid` (True = attendable,
+        i.e. still-to-decode for MaskGIT, this step's random subset for ROAR) —
+        logits at valid positions are bitwise-equivalent to the gathered version.
+
+        Returns logits (B, N_grid, V).
+        """
+        enc_out, enc_emb, enc_mask, _ = self.encode(mod_dict, None)
+        context = self.decoder_context(enc_out, enc_emb)
+        d = mod_dict[target_mod]
+        dtype = self.config.compute_dtype
+        x, pos, _ids = self.decoder_embeddings[target_mod].embed(d["tensor"], d["target_mask"])
+        emb = pos + self.dec_mod_emb[target_mod].astype(dtype)
+        y = jnp.broadcast_to(self.mask_token.astype(dtype), x.shape) + emb
+        sa_mask = ~sa_keys_valid[:, None, :]  # (B, 1, N) keys; broadcast over queries
+        y = self.forward_decoder(y, context, enc_mask, sa_mask)
+        return self.mod_logits(target_mod, y)
+
+    def ar_prefill(self, mod_dict, target_mod: str, max_len: int):
+        """Encoder pass + per-layer cross-attention K/V + target position embeddings
+        for KV-cached AR decoding. Returns (cross_kvs, enc_mask, y_emb (B, L, D))."""
+        enc_out, enc_emb, enc_mask, _ = self.encode(mod_dict, None)
+        context = self.decoder_context(enc_out, enc_emb)
+        cross_kvs = self.decoder_cross_kvs(context)
+        dtype = self.config.compute_dtype
+        B = enc_out.shape[0]
+        pos = self.decoder_embeddings[target_mod].pos_table(max_len)  # (L, D)
+        y_emb = (pos + self.dec_mod_emb[target_mod]).astype(dtype)
+        y_emb = jnp.broadcast_to(y_emb[None], (B, max_len, y_emb.shape[-1]))
+        return cross_kvs, enc_mask, y_emb
+
+    # ------------------------------------------------ autoregressive decoding
+
+    def decoder_cross_kvs(self, context):
+        """Precompute per-layer cross-attention K/V from the encoder context —
+        computed once per AR generation instead of once per token (the reference
+        re-projects the context every step, generate.py:888-918)."""
+        return [blk.cross_kv(context) for blk in self.decoder]
+
+    def embed_target_token(self, mod: str, ids: jnp.ndarray) -> jnp.ndarray:
+        """Token embedding lookup for AR decoding (seq modalities)."""
+        return self.decoder_embeddings[mod].token_embed(ids)
+
+    def decode_one_token(self, y_t, caches, cross_kvs, enc_mask, step_idx):
+        """One KV-cached decoder step. y_t: (B, 1, D); caches: per-layer (k, v)
+        with shape (B, H, L_max, Dh); returns (normed output, new caches)."""
+        if enc_mask is not None and enc_mask.ndim == 2:
+            enc_mask = enc_mask[:, None, :]
+        new_caches = []
+        for blk, (ck, cv), (xk, xv) in zip(self.decoder, caches, cross_kvs):
+            y_t, ck, cv = blk.step(y_t, ck, cv, xk, xv, enc_mask, step_idx)
+            new_caches.append((ck, cv))
+        return self.decoder_norm(y_t), new_caches
+
+    def init_kv_caches(self, batch_size: int, max_len: int):
+        """Zeroed per-layer self-attention KV caches."""
+        cfg = self.config
+        head_dim = cfg.dim // cfg.num_heads
+        shape = (batch_size, cfg.num_heads, max_len, head_dim)
+        zeros = jnp.zeros(shape, cfg.compute_dtype)
+        return [(zeros, zeros) for _ in range(cfg.decoder_depth)]
 
     # ------------------------------------------------------------------ loss
 

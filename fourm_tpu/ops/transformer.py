@@ -9,8 +9,10 @@ stochastic depth. Redesigned for TPU/XLA:
     heads — no per-head masked_fill;
   * softmax runs in fp32 regardless of compute dtype (bf16-safe);
   * all module parameters live in fp32 (`param_dtype`), activations in `dtype`;
-  * attention is a single einsum pipeline XLA can fuse / tile onto the MXU; a Pallas
-    flash kernel can be swapped in via `attn_impl`.
+  * attention is a single einsum pipeline XLA can fuse / tile onto the MXU;
+  * Attention/CrossAttention/DecoderBlock expose incremental `step`/`kv` methods for
+    KV-cache autoregressive decoding (the reference re-runs the full decoder per
+    generated token, generate.py:888-918 — the cache is the TPU fix).
 
 Parameter/submodule names intentionally mirror the reference module tree
 (qkv/proj/fc1/fc2/fc3/norm1/norm2/self_attn/cross_attn/...) so that the safetensors
@@ -19,7 +21,7 @@ checkpoint importer is a mechanical rename.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -150,8 +152,10 @@ class Attention(nn.Module):
 
     Covers reference Attention (fm_utils.py:147-180) and NormAttention
     (fm_utils.py:223-262) in one module; `mask` is boolean with True = masked out.
+    `step` performs one KV-cached incremental decode step.
     """
 
+    dim: int
     num_heads: int
     qkv_bias: bool = True
     proj_bias: bool = True
@@ -159,28 +163,60 @@ class Attention(nn.Module):
     allow_zero_attn: bool = False
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def setup(self):
+        self.qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
+        self.proj = nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")
+        if self.qk_norm:
+            self.q_norm = LayerNorm(dtype=self.dtype, name="q_norm")
+            self.k_norm = LayerNorm(dtype=self.dtype, name="k_norm")
+
+    def _split_qkv(self, x):
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B, H, N, Dh)
         if self.qk_norm:
-            q = LayerNorm(dtype=self.dtype, name="q_norm")(q)
-            k = LayerNorm(dtype=self.dtype, name="k_norm")(k)
+            q = self.q_norm(q)
+            k = self.k_norm(k)
+        return q, k, v
+
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        B, N, C = x.shape
+        q, k, v = self._split_qkv(x)
         out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
-        return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+        return self.proj(out)
+
+    def step(
+        self,
+        x_t: jnp.ndarray,  # (B, 1, C)
+        cache_k: jnp.ndarray,  # (B, H, L, Dh)
+        cache_v: jnp.ndarray,
+        step_idx: jnp.ndarray,  # scalar int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One causal decode step: append K/V at step_idx, attend over cache[:idx]."""
+        B, _, C = x_t.shape
+        q, k, v = self._split_qkv(x_t)  # (B, H, 1, Dh)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), step_idx, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), step_idx, axis=2)
+        L = cache_k.shape[2]
+        pos = jnp.arange(L)
+        bias = jnp.where(pos[None, None, None, :] <= step_idx, 0.0, MASK_FILL_VALUE).astype(jnp.float32)
+        out = dot_product_attention(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), bias,
+                                    self.allow_zero_attn)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, 1, C)
+        return self.proj(out), cache_k, cache_v
 
 
 class CrossAttention(nn.Module):
     """Multi-head cross-attention with optional QK-norm.
 
     Covers reference CrossAttention (fm_utils.py:182-221) and NormCrossAttention
-    (fm_utils.py:264-307).
+    (fm_utils.py:264-307). `kv` precomputes the context projection once for
+    autoregressive decoding; `attend` runs attention against precomputed K/V.
     """
 
+    dim: int
     num_heads: int
     qkv_bias: bool = True
     proj_bias: bool = True
@@ -188,27 +224,46 @@ class CrossAttention(nn.Module):
     allow_zero_attn: bool = False
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")
+        self.kv = nn.Dense(2 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")
+        self.proj = nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")
+        if self.qk_norm:
+            self.q_norm = LayerNorm(dtype=self.dtype, name="q_norm")
+            self.k_norm = LayerNorm(dtype=self.dtype, name="k_norm")
+
+    def project_kv(self, context: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, M, _ = context.shape
+        head_dim = self.dim // self.num_heads
+        kv = self.kv(context).reshape(B, M, 2, self.num_heads, head_dim)
+        k, v = [jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2)]
+        if self.qk_norm:
+            k = self.k_norm(k)
+        return k, v
+
+    def project_q(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        q = jnp.moveaxis(self.q(x).reshape(B, N, self.num_heads, head_dim), 1, 2)
+        if self.qk_norm:
+            q = self.q_norm(q)
+        return q
+
+    def attend(self, x, k, v, mask=None):
+        B, N, C = x.shape
+        q = self.project_q(x)
+        out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return self.proj(out)
+
     def __call__(
         self,
         x: jnp.ndarray,
         context: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        B, N, C = x.shape
-        M = context.shape[1]
-        head_dim = C // self.num_heads
-        q = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x)
-        kv = nn.Dense(2 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(context)
-        q = jnp.moveaxis(q.reshape(B, N, self.num_heads, head_dim), 1, 2)
-        kv = kv.reshape(B, M, 2, self.num_heads, head_dim)
-        k, v = [jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2)]
-        if self.qk_norm:
-            q = LayerNorm(dtype=self.dtype, name="q_norm")(q)
-            k = LayerNorm(dtype=self.dtype, name="k_norm")(k)
-        out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
-        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
-        return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+        k, v = self.project_kv(context)
+        return self.attend(x, k, v, mask)
 
 
 def drop_path(
@@ -243,6 +298,7 @@ def _make_mlp(gated_mlp, dim, mlp_ratio, mlp_bias, act, dtype, name="mlp"):
 class Block(nn.Module):
     """Pre-LN encoder block (reference fm_utils.py:310-334)."""
 
+    dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
@@ -256,29 +312,37 @@ class Block(nn.Module):
     norm_bias: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        common = dict(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias, qk_norm=self.qk_norm,
+            allow_zero_attn=self.allow_zero_attn, dtype=self.dtype,
+        )
+        self.attn = Attention(**common, name="attn")
+        self.norm1 = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm1")
+        self.norm2 = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")
+        self.mlp = _make_mlp(self.gated_mlp, self.dim, self.mlp_ratio, self.mlp_bias, self.act, self.dtype)
+        self.dp = DropPath(self.drop_path_rate, name="drop_path")
+
     def __call__(
         self,
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        dim = x.shape[-1]
-        dp = DropPath(self.drop_path_rate, name="drop_path")
-        attn = Attention(
-            num_heads=self.num_heads, qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
-            qk_norm=self.qk_norm, allow_zero_attn=self.allow_zero_attn, dtype=self.dtype,
-            name="attn",
-        )
-        x = x + dp(attn(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm1")(x), mask), deterministic)
-        mlp = _make_mlp(self.gated_mlp, dim, self.mlp_ratio, self.mlp_bias, self.act, self.dtype)
-        x = x + dp(mlp(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")(x)), deterministic)
+        x = x + self.dp(self.attn(self.norm1(x), mask), deterministic)
+        x = x + self.dp(self.mlp(self.norm2(x)), deterministic)
         return x
 
 
 class DecoderBlock(nn.Module):
-    """Pre-LN decoder block: self-attn + cross-attn + MLP (reference fm_utils.py:337-366)."""
+    """Pre-LN decoder block: self-attn + cross-attn + MLP (reference fm_utils.py:337-366).
 
+    `cross_kv` precomputes this block's cross-attention K/V from the encoder context;
+    `step` runs one KV-cached autoregressive decode step.
+    """
+
+    dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
@@ -292,7 +356,21 @@ class DecoderBlock(nn.Module):
     norm_bias: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        common = dict(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias, qk_norm=self.qk_norm,
+            allow_zero_attn=self.allow_zero_attn, dtype=self.dtype,
+        )
+        self.self_attn = Attention(**common, name="self_attn")
+        self.cross_attn = CrossAttention(**common, name="cross_attn")
+        self.norm1 = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm1")
+        self.query_norm = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="query_norm")
+        self.context_norm = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="context_norm")
+        self.norm2 = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")
+        self.mlp = _make_mlp(self.gated_mlp, self.dim, self.mlp_ratio, self.mlp_bias, self.act, self.dtype)
+        self.dp = DropPath(self.drop_path_rate, name="drop_path")
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -301,34 +379,38 @@ class DecoderBlock(nn.Module):
         xa_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        dim = x.shape[-1]
-        dp = DropPath(self.drop_path_rate, name="drop_path")
-        common = dict(
-            num_heads=self.num_heads, qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
-            qk_norm=self.qk_norm, allow_zero_attn=self.allow_zero_attn, dtype=self.dtype,
-        )
-        x = x + dp(
-            Attention(**common, name="self_attn")(
-                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm1")(x), sa_mask
-            ),
+        x = x + self.dp(self.self_attn(self.norm1(x), sa_mask), deterministic)
+        x = x + self.dp(
+            self.cross_attn(self.query_norm(x), self.context_norm(context), xa_mask),
             deterministic,
         )
-        x = x + dp(
-            CrossAttention(**common, name="cross_attn")(
-                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="query_norm")(x),
-                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="context_norm")(context),
-                xa_mask,
-            ),
-            deterministic,
-        )
-        mlp = _make_mlp(self.gated_mlp, dim, self.mlp_ratio, self.mlp_bias, self.act, self.dtype)
-        x = x + dp(mlp(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")(x)), deterministic)
+        x = x + self.dp(self.mlp(self.norm2(x)), deterministic)
         return x
+
+    def cross_kv(self, context: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.cross_attn.project_kv(self.context_norm(context))
+
+    def step(
+        self,
+        x_t: jnp.ndarray,  # (B, 1, C)
+        cache_k: jnp.ndarray,
+        cache_v: jnp.ndarray,
+        cross_k: jnp.ndarray,
+        cross_v: jnp.ndarray,
+        xa_mask: Optional[jnp.ndarray],
+        step_idx: jnp.ndarray,
+    ):
+        sa_out, cache_k, cache_v = self.self_attn.step(self.norm1(x_t), cache_k, cache_v, step_idx)
+        x_t = x_t + sa_out
+        x_t = x_t + self.cross_attn.attend(self.query_norm(x_t), cross_k, cross_v, xa_mask)
+        x_t = x_t + self.mlp(self.norm2(x_t))
+        return x_t, cache_k, cache_v
 
 
 class CrossAttentionBlock(nn.Module):
     """Cross-attention + MLP block (reference fm_utils.py:369-388)."""
 
+    dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
@@ -339,7 +421,17 @@ class CrossAttentionBlock(nn.Module):
     norm_bias: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.cross_attn = CrossAttention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            allow_zero_attn=self.allow_zero_attn, dtype=self.dtype, name="cross_attn",
+        )
+        self.query_norm = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="query_norm")
+        self.context_norm = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="context_norm")
+        self.norm2 = LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")
+        self.mlp = _make_mlp(self.gated_mlp, self.dim, self.mlp_ratio, True, self.act, self.dtype)
+        self.dp = DropPath(self.drop_path_rate, name="drop_path")
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -347,19 +439,9 @@ class CrossAttentionBlock(nn.Module):
         xa_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        dim = x.shape[-1]
-        dp = DropPath(self.drop_path_rate, name="drop_path")
-        x = x + dp(
-            CrossAttention(
-                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-                allow_zero_attn=self.allow_zero_attn, dtype=self.dtype, name="cross_attn",
-            )(
-                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="query_norm")(x),
-                LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="context_norm")(context),
-                xa_mask,
-            ),
+        x = x + self.dp(
+            self.cross_attn(self.query_norm(x), self.context_norm(context), xa_mask),
             deterministic,
         )
-        mlp = _make_mlp(self.gated_mlp, dim, self.mlp_ratio, True, self.act, self.dtype)
-        x = x + dp(mlp(LayerNorm(use_bias=self.norm_bias, dtype=self.dtype, name="norm2")(x)), deterministic)
+        x = x + self.dp(self.mlp(self.norm2(x)), deterministic)
         return x

@@ -1,0 +1,252 @@
+"""Generation engine tests: schedules, KV-cache parity, MaskGIT/ROAR/AR end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fourm_tpu.generate import (
+    GenerationSampler,
+    build_chained_generation_schedules,
+    cosine_token_schedule,
+    custom_text,
+    init_empty_target_modality,
+    init_full_input_modality,
+    linear_temp_schedule,
+    linear_token_schedule,
+)
+from fourm_tpu.models import FourM, create_fourm_config
+from fourm_tpu.ops.transformer import DecoderBlock
+
+
+class TestSchedules:
+    def test_cosine_tokens_sum(self):
+        for steps, total in [(8, 196), (12, 196), (1, 196), (25, 784)]:
+            sched = cosine_token_schedule(steps, total)
+            assert sched.sum() == total
+            assert len(sched) == steps
+
+    def test_linear_tokens(self):
+        sched = linear_token_schedule(10, 196)
+        assert sched.sum() == 196
+        assert all(np.diff(sched) <= 0)  # descending
+
+    def test_linear_temp(self):
+        toks = cosine_token_schedule(8, 196)
+        temps = linear_temp_schedule(1.0, toks)
+        assert temps[0] == 1.0
+        assert np.all(temps > 0)
+        assert len(temps) == 8
+
+    def test_chained_builder(self):
+        sched = build_chained_generation_schedules(
+            cond_domains=["caption"],
+            target_domains=["tok_rgb@224", "caption"],
+            tokens_per_target=[196, None],
+            autoregression_schemes=["maskgit", "autoregressive"],
+            decoding_steps=[8, None],
+            token_decoding_schedules=["cosine", None],
+            temps=[1.0, 0.7],
+            temp_schedules=["linear", "constant"],
+            cfg_scales=[2.0, 1.0],
+            cfg_schedules=["constant", "constant"],
+            cfg_grow_conditioning=True,
+        )
+        assert len(sched) == 9  # 8 maskgit + 1 AR
+        assert sched[0]["target_domain"] == "tok_rgb@224"
+        assert sched[0]["cfg_scale"] == 2.0
+        assert sum(s["num_tokens"] for s in sched[:8]) == 196
+        assert sched[8]["scheme"] == "autoregressive"
+        # cfg_grow_conditioning adds the finished modality to conditioning
+        assert "tok_rgb@224" in sched[8]["cfg_cond_domains"]
+
+
+class TestKVCacheParity:
+    def test_decoder_block_step_matches_full(self):
+        """Incremental KV-cached decoding must match the full causal forward."""
+        B, L, M, D, H = 2, 7, 5, 32, 4
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+        ctx = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+        blk = DecoderBlock(dim=D, num_heads=H)
+        params = blk.init(jax.random.key(0), x, ctx)
+
+        causal = jnp.triu(jnp.ones((L, L), dtype=bool), k=1)
+        causal = jnp.broadcast_to(causal, (B, L, L))
+        full = blk.apply(params, x, ctx, causal, None)
+
+        cross_k, cross_v = blk.apply(params, ctx, method="cross_kv")
+        ck = jnp.zeros((B, H, L, D // H), jnp.float32)
+        cv = jnp.zeros_like(ck)
+        outs = []
+        for t in range(L):
+            y_t, ck, cv = blk.apply(
+                params, x[:, t : t + 1], ck, cv, cross_k, cross_v, None, jnp.int32(t),
+                method="step",
+            )
+            outs.append(y_t)
+        inc = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(inc), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_gen():
+    cfg = create_fourm_config(
+        "fm_tiny_6e_6d_gelu",
+        encoder_modalities=("tok_rgb@224", "caption"),
+        decoder_modalities=("tok_rgb@224", "caption"),
+    )
+    model = FourM(cfg)
+    # init params with a tiny synthetic batch
+    from fourm_tpu.utils.synthetic import synthetic_mod_batch
+
+    batch = jax.tree.map(jnp.asarray, synthetic_mod_batch(
+        ("tok_rgb@224", "caption"), 1, num_input_tokens=32, num_target_tokens=32
+    ))
+    params = model.init(jax.random.key(0), batch, 32, 32)
+    return model, params
+
+
+def make_caption_cond(B=1, L=64):
+    """Caption as full input: some tokens then EOS(3)."""
+    tensor = np.zeros((B, L), np.int32)
+    tensor[:, :6] = [[210, 211, 212, 213, 214, 3]]
+    d = {"caption": {"tensor": tensor}}
+    init_full_input_modality(d, "caption")
+    return d
+
+
+class TestMaskGITGeneration:
+    def test_maskgit_completes_grid(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        schedule = build_chained_generation_schedules(
+            ["caption"], ["tok_rgb@224"], [196], ["maskgit"], [4], ["cosine"],
+            [0.0], ["constant"], [1.0], ["constant"],
+        )
+        out = sampler.generate(mod_dict, schedule, seed=0)
+        d = jax.tree.map(np.asarray, out["tok_rgb@224"])
+        assert d["target_mask"].all(), "all positions should be decoded"
+        assert not d["input_mask"].any(), "all positions should now be inputs"
+        assert d["tensor"].min() >= 0 and d["tensor"].max() < 16384
+
+    def test_maskgit_cfg_runs(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        schedule = build_chained_generation_schedules(
+            ["caption"], ["tok_rgb@224"], [196], ["maskgit"], [2], ["cosine"],
+            [0.5], ["linear"], [3.0], ["constant"],
+        )
+        out = sampler.generate(mod_dict, schedule, seed=1)
+        assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()
+
+    def test_roar_completes_grid(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        schedule = build_chained_generation_schedules(
+            ["caption"], ["tok_rgb@224"], [196], ["roar"], [4], ["linear"],
+            [1.0], ["constant"], [1.0], ["constant"],
+        )
+        out = sampler.generate(mod_dict, schedule, seed=2)
+        assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()
+
+    def test_deterministic_at_temp_zero(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+
+        def run(seed):
+            mod_dict = make_caption_cond()
+            init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+            schedule = build_chained_generation_schedules(
+                ["caption"], ["tok_rgb@224"], [196], ["maskgit"], [2], ["cosine"],
+                [0.0], ["constant"], [1.0], ["constant"],
+            )
+            return np.asarray(sampler.generate(mod_dict, schedule, seed=seed)["tok_rgb@224"]["tensor"])
+
+        np.testing.assert_array_equal(run(0), run(7))
+
+
+class TestARGeneration:
+    def test_ar_caption_generation(self, tiny_gen, tmp_path):
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens,
+            train_unified_wordpiece_tokenizer,
+        )
+
+        rng = np.random.RandomState(0)
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("\n".join(" ".join(rng.choice(
+            ["cat", "dog", "sky", "sun"], size=6)) for _ in range(100)))
+        tok = train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=400,
+            sentinel_tokens=generate_sentinel_tokens(num=10), show_progress=False,
+        )
+
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params, text_tokenizer=tok)
+
+        # tok_rgb as conditioning, caption as AR target
+        mod_dict = {
+            "tok_rgb@224": {"tensor": np.random.randint(0, 16384, (1, 196)).astype(np.int32)},
+        }
+        init_full_input_modality(mod_dict, "tok_rgb@224")
+        mod_dict = custom_text(mod_dict, "", "[EOS]", "caption", tok, target_max_len=12)
+
+        schedule = build_chained_generation_schedules(
+            ["tok_rgb@224"], ["caption"], [None], ["autoregressive"], [None], [None],
+            [0.8], ["constant"], [1.0], ["constant"],
+        )
+        out = sampler.generate(mod_dict, schedule, seed=0)
+        d = jax.tree.map(np.asarray, out["caption"])
+        # merged sequence is now a full input with fixed layout
+        assert d["tensor"].shape == (1, 514)
+        assert (~d["input_mask"]).sum() > 0
+        assert d["target_mask"].all()
+
+    def test_ar_cfg_runs(self, tiny_gen, tmp_path):
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens,
+            train_unified_wordpiece_tokenizer,
+        )
+
+        corpus = tmp_path / "c2.txt"
+        corpus.write_text("cat dog sky sun\n" * 50)
+        tok = train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=300,
+            sentinel_tokens=generate_sentinel_tokens(num=10), show_progress=False,
+        )
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params, text_tokenizer=tok)
+        mod_dict = {
+            "tok_rgb@224": {"tensor": np.random.randint(0, 16384, (1, 196)).astype(np.int32)},
+        }
+        init_full_input_modality(mod_dict, "tok_rgb@224")
+        mod_dict = custom_text(mod_dict, "", "[EOS]", "caption", tok, target_max_len=8)
+        schedule = build_chained_generation_schedules(
+            ["tok_rgb@224"], ["caption"], [None], ["autoregressive"], [None], [None],
+            [0.0], ["constant"], [2.0], ["constant"],
+        )
+        out = sampler.generate(mod_dict, schedule, seed=3)
+        assert np.asarray(out["caption"]["target_mask"]).all()
+
+
+class TestChainedGeneration:
+    def test_img_then_img(self, tiny_gen):
+        """Chained: caption -> tok_rgb -> (tok_rgb as grown conditioning) is exercised
+        by generating two image modalities in sequence."""
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        schedule = build_chained_generation_schedules(
+            ["caption"], ["tok_rgb@224"], [196], ["maskgit"], [2], ["cosine"],
+            [0.0], ["constant"], [2.0], ["constant"], cfg_grow_conditioning=True,
+        )
+        out = sampler.generate(mod_dict, schedule, seed=0)
+        assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()

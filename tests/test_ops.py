@@ -124,7 +124,7 @@ class TestAttentionCore:
 
     def test_attention_module_shapes(self):
         x = jnp.asarray(np.random.randn(2, 10, 32).astype(np.float32))
-        attn = Attention(num_heads=4, qk_norm=True)
+        attn = Attention(dim=32, num_heads=4, qk_norm=True)
         params = attn.init(jax.random.key(0), x)
         out = attn.apply(params, x)
         assert out.shape == x.shape
@@ -132,7 +132,7 @@ class TestAttentionCore:
     def test_cross_attention_module_shapes(self):
         x = jnp.asarray(np.random.randn(2, 6, 32).astype(np.float32))
         ctx = jnp.asarray(np.random.randn(2, 11, 32).astype(np.float32))
-        xattn = CrossAttention(num_heads=4)
+        xattn = CrossAttention(dim=32, num_heads=4)
         params = xattn.init(jax.random.key(0), x, ctx)
         out = xattn.apply(params, x, ctx)
         assert out.shape == x.shape
@@ -140,10 +140,10 @@ class TestAttentionCore:
     def test_blocks_run(self):
         x = jnp.asarray(np.random.randn(2, 6, 32).astype(np.float32))
         ctx = jnp.asarray(np.random.randn(2, 9, 32).astype(np.float32))
-        blk = Block(num_heads=4, gated_mlp=True, qk_norm=True)
+        blk = Block(dim=32, num_heads=4, gated_mlp=True, qk_norm=True)
         p = blk.init(jax.random.key(0), x)
         assert blk.apply(p, x).shape == x.shape
-        dblk = DecoderBlock(num_heads=4)
+        dblk = DecoderBlock(dim=32, num_heads=4)
         sa_mask = jnp.zeros((2, 6, 6), dtype=bool)
         xa_mask = jnp.zeros((2, 1, 9), dtype=bool)
         p = dblk.init(jax.random.key(0), x, ctx, sa_mask, xa_mask)
