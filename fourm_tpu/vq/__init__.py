@@ -1,0 +1,15 @@
+from .quantizer import VectorQuantize, euclidean_distance_logits, kmeans, l2norm
+from .scheduling import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DiffusionScheduler,
+    diffusion_sample,
+    enforce_zero_terminal_snr,
+    make_alphas_cumprod,
+    scaled_cosine_alphas,
+    spaced_timesteps,
+)
+from .uvit import UVIT_PRESETS, UViT, build_uvit
+from .vit_models import VIT_SIZES, ViTDecoder, ViTEncoder, build_vit_decoder, build_vit_encoder
+from .mlp_models import BottleneckMLP, StandardMLP, build_mlp
+from .vqvae import VQ, VQVAE, DiVAE, divae_decode_quant, divae_decode_tokens
