@@ -71,6 +71,8 @@ class FourMConfig:
     decoder_sep_mask: bool = True
     num_register_tokens: int = 0
     share_modality_embeddings: bool = True
+    # released HF checkpoints untie decoder embeddings (reference fm.py:813-815)
+    decoder_share_embedding: bool = True
     drop_path_rate_encoder: float = 0.0
     drop_path_rate_decoder: float = 0.0
     shared_drop_path: bool = False
@@ -125,19 +127,19 @@ def _build_encoder_embedding(spec: ModalitySpec, dim: int, dtype) -> Optional[nn
     raise ValueError(f"unknown encoder embedding kind {spec.encoder_embedding}")
 
 
-def _build_decoder_embedding(spec: ModalitySpec, dim: int, dtype) -> Optional[nn.Module]:
+def _build_decoder_embedding(spec: ModalitySpec, dim: int, dtype, share_embedding: bool = True) -> Optional[nn.Module]:
     if spec.decoder_embedding is None:
         return None
     if spec.decoder_embedding == "image_token":
         gh, gw = _grid_for(spec)
         return ImageTokenDecoderEmbedding(
             vocab_size=spec.vocab_size, grid_h=gh, grid_w=gw, dim=dim,
-            sincos_pos_emb=spec.sincos_pos_emb, dtype=dtype,
+            sincos_pos_emb=spec.sincos_pos_emb, share_embedding=share_embedding, dtype=dtype,
         )
     if spec.decoder_embedding == "sequence":
         return SequenceDecoderEmbedding(
             vocab_size=spec.vocab_size, max_length=spec.max_length, dim=dim,
-            sincos_pos_emb=spec.sincos_pos_emb, dtype=dtype,
+            sincos_pos_emb=spec.sincos_pos_emb, share_embedding=share_embedding, dtype=dtype,
         )
     raise ValueError(f"unknown decoder embedding kind {spec.decoder_embedding}")
 
@@ -165,7 +167,7 @@ class FourM(nn.Module):
             if m is not None:
                 enc_embs[mod] = m
         for mod in cfg.decoder_modalities:
-            m = _build_decoder_embedding(cfg.spec(mod), cfg.dim, dtype)
+            m = _build_decoder_embedding(cfg.spec(mod), cfg.dim, dtype, cfg.decoder_share_embedding)
             if m is not None:
                 dec_embs[mod] = m
         self.encoder_embeddings = enc_embs

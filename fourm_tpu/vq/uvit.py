@@ -355,10 +355,12 @@ class UViT(nn.Module):
         x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.norm_eps,
                          dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
+        # transpose_kernel=True matches torch ConvTranspose2d semantics so released
+        # DiVAE decoder weights import directly (see utils/checkpoint.py)
         x = nn.ConvTranspose(
             self.out_channels, (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size), padding="VALID",
-            dtype=self.dtype, name="conv_out",
+            transpose_kernel=True, dtype=self.dtype, name="conv_out",
         )(x)
         return x
 
