@@ -18,6 +18,16 @@ SEQ_TYPES = ("seq", "seq_token")
 
 def make_empty_mod(spec: ModalitySpec, t5_emb_dim: int = 4096) -> Dict[str, np.ndarray]:
     """Fully-masked placeholder arrays for one missing modality."""
+    if spec.type == "img" and spec.encoder_embedding == "image":
+        # raw pixel modality: zero NHWC image, masks over the token grid
+        n = spec.resolved_max_tokens()
+        size = spec.input_size
+        return {
+            "tensor": np.zeros((size, size, spec.num_channels), dtype=np.float32),
+            "input_mask": np.ones(n, dtype=bool),
+            "target_mask": np.ones(n, dtype=bool),
+            "decoder_attention_mask": np.zeros(n, dtype=np.int32),
+        }
     if spec.type == "img":
         n = spec.resolved_max_tokens()
         tensor = np.zeros(n, dtype=np.int32)

@@ -1,0 +1,282 @@
+"""Data pipeline tests: transforms, augmenters, folder/tar datasets, mixture,
+end-to-end into the FourM model."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fourm_tpu.data.augmenters import (
+    CenterCropImageAugmenter,
+    PreTokenizedImageAugmenter,
+    RandomCropImageAugmenter,
+    random_resized_crop_params,
+)
+from fourm_tpu.data.datasets import (
+    MixtureDataset,
+    MultiModalDatasetFolder,
+    ShardedTarDataset,
+    batched_loader,
+    braceexpand,
+    build_fm_pretraining_dataset,
+    iterate_multi_tar_samples,
+    repeat_dataset,
+)
+from fourm_tpu.data.modality_info import MODALITY_INFO
+from fourm_tpu.data.transforms import (
+    CaptionTransform,
+    DepthTransform,
+    DetectionTransform,
+    MaskTransform,
+    MetadataTransform,
+    RGBTransform,
+    SemsegTransform,
+    TokTransform,
+    UnifiedDataTransform,
+    bbox_ops,
+    default_modality_transforms,
+)
+
+
+class TestBraceExpand:
+    def test_range(self):
+        assert braceexpand("s/{00..02}.tar") == ["s/00.tar", "s/01.tar", "s/02.tar"]
+
+    def test_list(self):
+        assert braceexpand("root_{rgb,cap}/0.tar") == ["root_rgb/0.tar", "root_cap/0.tar"]
+
+    def test_nested(self):
+        assert len(braceexpand("{a,b}/{0..1}.tar")) == 4
+
+    def test_plain(self):
+        assert braceexpand("x.tar") == ["x.tar"]
+
+
+class TestTransforms:
+    def test_rgb_normalization(self):
+        t = RGBTransform(imagenet_default_mean_and_std=True)
+        img = Image.new("RGB", (32, 32), (124, 116, 104))
+        out = t.postprocess(t.preprocess(img))
+        assert out.shape == (32, 32, 3)
+        assert abs(out.mean()) < 0.2  # roughly centered
+
+    def test_depth_standardization(self):
+        t = DepthTransform(standardize_depth=True)
+        arr = (np.random.rand(16, 16) * 65535).astype(np.uint16)
+        img = Image.fromarray(arr, mode="I;16")
+        out = t.postprocess(img)
+        assert out.shape == (16, 16, 1)
+        assert abs(out.mean()) < 1.0
+
+    def test_semseg_shift(self):
+        t = SemsegTransform(shift_idx_by_one=True)
+        img = Image.fromarray(np.zeros((8, 8), np.uint8), mode="P")
+        out = t.postprocess(t.preprocess(img))
+        assert out.dtype == np.int64
+        assert (out == 1).all()
+
+    def test_mask_pooling(self):
+        t = MaskTransform(mask_pool_size=2)
+        arr = np.ones((8, 8), np.uint8) * 255
+        arr[0, 0] = 0
+        out = t.postprocess(Image.fromarray(arr))
+        assert out.shape == (8, 8, 1)
+        assert not out[0, 0, 0] and not out[1, 1, 0]  # pooled min expands the hole
+        assert out[4, 4, 0]
+
+    def test_detection_to_string(self):
+        t = DetectionTransform(det_threshold=0.5)
+        sample = {"instances": [
+            {"boxes": [0.1, 0.2, 0.5, 0.6], "class_name": "dog", "score": 0.9},
+            {"boxes": [0.3, 0.3, 0.4, 0.4], "class_name": "cat", "score": 0.3},
+        ]}
+        bboxes = t.preprocess(sample)
+        assert len(bboxes) == 1  # below-threshold dropped
+        aug = t.image_augment(bboxes, (0, 0, 100, 100), False, (100, 100), (224, 224))
+        s = t.postprocess(aug)
+        assert s.startswith("v0=") and "dog" in s and "v3=" in s
+
+    def test_bbox_hflip(self):
+        out = bbox_ops.hflip((0.1, 0.2, 0.5, 0.6))
+        np.testing.assert_allclose(out, (0.5, 0.2, 0.9, 0.6))
+
+    def test_metadata_chunks(self):
+        t = MetadataTransform(shuffle=False, return_chunks=True)
+        chunks = t.postprocess({"brightness": 128.0, "n_humans": 2})
+        assert any("v1=10" in c for c in chunks)
+        assert any("v1=5 v0=2" in c for c in chunks)
+
+    def test_caption_rand_aug_select(self):
+        t = CaptionTransform(aligned_captions=True)
+        out = t.image_augment(["a", "b", "c"], None, False, None, None, rand_aug_idx=2)
+        assert out == "c"
+
+    def test_tok_transform_requires_idx(self):
+        t = TokTransform()
+        with pytest.raises(ValueError):
+            t.image_augment(np.zeros((3, 196)), None, False, None, None, rand_aug_idx=None)
+        out = t.image_augment(np.arange(6).reshape(3, 2), None, False, None, None, rand_aug_idx=1)
+        np.testing.assert_array_equal(out, [2, 3])
+
+
+class TestAugmenters:
+    def test_random_resized_crop_in_bounds(self):
+        for _ in range(50):
+            top, left, h, w = random_resized_crop_params(100, 80, (0.2, 1.0), (0.75, 1.333))
+            assert 0 <= top <= 100 - h and 0 <= left <= 80 - w
+
+    def test_center_crop_square(self):
+        aug = CenterCropImageAugmenter(target_size=224)
+        img = Image.new("RGB", (100, 60))
+        (top, left, h, w), flip, orig, tgt, idx = aug({"rgb": img})
+        assert h == w == 60 and top == 0 and left == 20
+
+    def test_pretokenized_uses_crop_settings(self):
+        aug = PreTokenizedImageAugmenter(target_size=224)
+        settings = np.array([[0, 0, 50, 50, 0], [10, 10, 40, 40, 1]])
+        coords, flip, _, _, idx = aug({}, settings)
+        assert idx in (0, 1)
+        assert coords == tuple(settings[idx][:4])
+
+
+def make_folder_dataset(root, n=4):
+    """rgb pngs + captions + pre-tokenized rgb tokens + crop settings."""
+    rng = np.random.RandomState(0)
+    os.makedirs(f"{root}/rgb/c", exist_ok=True)
+    os.makedirs(f"{root}/caption/c", exist_ok=True)
+    os.makedirs(f"{root}/tok_rgb/c", exist_ok=True)
+    os.makedirs(f"{root}/crop_settings/c", exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            f"{root}/rgb/c/{i:04d}.png")
+        with open(f"{root}/caption/c/{i:04d}.txt", "w") as f:
+            f.write(f"a photo number {i}")
+        np.save(f"{root}/tok_rgb/c/{i:04d}.npy",
+                rng.randint(0, 16384, (3, 196)).astype(np.int16))
+        np.save(f"{root}/crop_settings/c/{i:04d}.npy",
+                np.array([[0, 0, 64, 64, 0], [8, 8, 48, 48, 1], [0, 0, 56, 56, 0]]))
+
+
+class TestFolderDataset:
+    def test_aligned_loading(self, tmp_path):
+        make_folder_dataset(str(tmp_path))
+        transforms = default_modality_transforms()
+        ds = MultiModalDatasetFolder(
+            str(tmp_path), ["rgb@224", "caption"], transforms,
+            modality_paths={"rgb@224": "rgb"},
+        )
+        assert len(ds) == 4
+        sample = ds[0]
+        assert isinstance(sample["caption"], str)
+        assert sample["rgb@224"].size == (64, 64)
+
+    def test_end_to_end_folder_to_model(self, tmp_path, ):
+        """Folder -> unified transform -> masking -> batch -> FourM loss."""
+        import jax
+        import jax.numpy as jnp
+        from fourm_tpu.data.masking import UnifiedMasking
+        from fourm_tpu.models import FourM, create_fourm_config
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens,
+            train_unified_wordpiece_tokenizer,
+        )
+
+        make_folder_dataset(str(tmp_path / "data"))
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_text("a photo number one two three\n" * 100)
+        tok = train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=300,
+            sentinel_tokens=generate_sentinel_tokens(num=10), show_progress=False,
+        )
+        mods = ["tok_rgb@224", "caption"]
+        masking = UnifiedMasking(
+            modality_info={m: MODALITY_INFO[m] for m in mods},
+            text_tokenizer=tok, input_tokens_range=(32, 32), target_tokens_range=(32, 32),
+            input_alphas={m: 0.5 for m in mods}, target_alphas={m: 0.5 for m in mods},
+            seed=0,
+        )
+        aug = PreTokenizedImageAugmenter(target_size=224, main_domain="rgb")
+        ds = build_fm_pretraining_dataset(
+            str(tmp_path / "data"), mods + ["crop_settings"],
+            default_modality_transforms(), aug, masking,
+        )
+        loader = batched_loader(repeat_dataset(ds), batch_size=2)
+        batch = next(loader)
+        assert batch["tok_rgb@224"]["tensor"].shape == (2, 196)
+        assert batch["caption"]["tensor"].shape == (2, 514)
+
+        cfg = create_fourm_config(
+            "fm_tiny_6e_6d_gelu", encoder_modalities=tuple(mods),
+            decoder_modalities=tuple(mods),
+        )
+        model = FourM(cfg)
+        jbatch = jax.tree.map(jnp.asarray, batch)
+        params = model.init(jax.random.key(0), jbatch, 32, 32)
+        loss, _ = model.apply(params, jbatch, 32, 32)
+        assert np.isfinite(float(loss))
+
+
+def make_tar_shards(root, n_shards=2, samples_per_shard=3):
+    rng = np.random.RandomState(0)
+    os.makedirs(f"{root}/shards_rgb", exist_ok=True)
+    os.makedirs(f"{root}/shards_caption", exist_ok=True)
+    for s in range(n_shards):
+        with tarfile.open(f"{root}/shards_rgb/{s:05d}.tar", "w") as tf_rgb, \
+             tarfile.open(f"{root}/shards_caption/{s:05d}.tar", "w") as tf_cap:
+            for i in range(samples_per_shard):
+                key = f"{s:05d}{i:04d}"
+                buf = io.BytesIO()
+                Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)).save(buf, "PNG")
+                info = tarfile.TarInfo(f"{key}.png")
+                info.size = buf.getbuffer().nbytes
+                buf.seek(0)
+                tf_rgb.addfile(info, buf)
+                cap = json.dumps(f"caption {key}").encode()
+                info = tarfile.TarInfo(f"{key}.json")
+                info.size = len(cap)
+                tf_cap.addfile(info, io.BytesIO(cap))
+
+
+class TestTarStreaming:
+    def test_multi_tar_merging(self, tmp_path):
+        make_tar_shards(str(tmp_path))
+        urls = [f"{tmp_path}/shards_[rgb,caption]/{s:05d}.tar" for s in range(2)]
+        samples = list(iterate_multi_tar_samples(urls))
+        assert len(samples) == 6
+        assert "rgb.png" in samples[0] and "caption.json" in samples[0]
+
+    def test_sharded_dataset_decodes(self, tmp_path):
+        make_tar_shards(str(tmp_path))
+        transforms = default_modality_transforms()
+        ds = ShardedTarDataset(
+            f"{tmp_path}/shards_[rgb,caption]/{{00000..00001}}.tar",
+            ["rgb@224", "caption"], transforms, shuffle_buffer=1, seed=0,
+        )
+        it = iter(ds)
+        sample = next(it)
+        assert isinstance(sample["caption"], str)
+        assert sample["rgb@224"].size == (32, 32)
+
+
+class TestMixture:
+    def test_empty_mod_padding(self):
+        mods = {m: MODALITY_INFO[m] for m in ["tok_rgb@224", "caption"]}
+
+        def gen_a():
+            while True:
+                yield {"tok_rgb@224": {
+                    "tensor": np.zeros(196, np.int32),
+                    "input_mask": np.zeros(196, bool),
+                    "target_mask": np.ones(196, bool),
+                    "decoder_attention_mask": np.zeros(196, np.int32),
+                }}
+
+        mix = MixtureDataset([gen_a()], [1.0], mods, seed=0)
+        sample = next(iter(mix))
+        assert set(sample) == {"tok_rgb@224", "caption"}
+        assert sample["caption"]["input_mask"].all()  # padded modality fully masked
+        assert sample["caption"]["tensor"].shape == (514,)
