@@ -1,0 +1,99 @@
+"""High-level FourMSampler API test: RGB conditioning -> chained generation of
+depth tokens + caption -> decoded outputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fourm_tpu.api import DEFAULTS_RGB2X, FourMSampler
+from fourm_tpu.models import FourM, create_fourm_config
+from fourm_tpu.utils.decoding import (
+    TokenizerBundle,
+    convert_string_to_bboxes,
+    decode_dict,
+    pca_visualize,
+    visualize_palette,
+)
+from fourm_tpu.utils.synthetic import synthetic_mod_batch
+from fourm_tpu.utils.text_tokenizer import (
+    generate_coord_tokens,
+    generate_sentinel_tokens,
+    train_unified_wordpiece_tokenizer,
+)
+
+
+@pytest.fixture(scope="module")
+def text_tokenizer(tmp_path_factory):
+    corpus = tmp_path_factory.mktemp("api") / "c.txt"
+    corpus.write_text("a cat and a dog in the sun\n" * 100)
+    return train_unified_wordpiece_tokenizer(
+        str(corpus), vocab_size=500,
+        sentinel_tokens=generate_sentinel_tokens(num=10),
+        coord_tokens=generate_coord_tokens(bins=10),
+        show_progress=False,
+    )
+
+
+class TestDecodingHelpers:
+    def test_bbox_string_parsing(self):
+        s = "v0=100 v1=200 v2=500 v3=600 dog v0=0 v1=0 v2=999 v3=999 cat"
+        boxes = convert_string_to_bboxes(s)
+        assert len(boxes) == 2
+        assert boxes[0][4] == "dog"
+        np.testing.assert_allclose(boxes[0][:4], [100 / 999, 200 / 999, 500 / 999, 600 / 999])
+
+    def test_pca_visualize(self):
+        feats = np.random.randn(14, 14, 64).astype(np.float32)
+        viz = pca_visualize(feats)
+        assert viz.shape == (14, 14, 3)
+        assert viz.min() >= 0 and viz.max() <= 1
+
+    def test_palette_render(self):
+        img = visualize_palette("v1=2 v0=255 v0=0 v0=0 v0=0 v0=255 v0=0", size=32)
+        assert img.shape == (32, 32, 3)
+        np.testing.assert_allclose(img[0, 0], [1, 0, 0])
+        np.testing.assert_allclose(img[0, -1], [0, 1, 0])
+
+
+class TestFourMSampler:
+    def test_rgb_to_depth_and_caption(self, text_tokenizer):
+        mods = ("rgb@224", "tok_depth@224", "caption")
+        cfg = create_fourm_config(
+            "fm_tiny_6e_6d_gelu",
+            encoder_modalities=mods,
+            decoder_modalities=("tok_depth@224", "caption"),
+        )
+        model = FourM(cfg)
+        batch = jax.tree.map(jnp.asarray, synthetic_mod_batch(mods, 1, 32, 32))
+        variables = model.init(jax.random.key(0), batch, 32, 32)
+
+        sampler = FourMSampler(
+            fm=(model, variables), text_tokenizer=text_tokenizer,
+        )
+        rgb = np.random.rand(224, 224, 3).astype(np.float32)
+        out = sampler(
+            sample={"rgb@224": rgb},
+            cond_domains=["rgb@224"],
+            target_domains=["tok_depth@224", "caption"],
+            seed=0,
+        )
+        assert "caption" in out and isinstance(out["caption"], str)
+        # tok_depth has no tokenizer bundle -> not decoded, but generation completed
+        assert "tok_depth@224" not in out or out["tok_depth@224"] is not None
+
+    def test_schedule_defaults(self, text_tokenizer):
+        mods = ("rgb@224", "tok_depth@224", "caption")
+        cfg = create_fourm_config(
+            "fm_tiny_6e_6d_gelu", encoder_modalities=mods,
+            decoder_modalities=("tok_depth@224", "caption"),
+        )
+        model = FourM(cfg)
+        sampler = FourMSampler(fm=(model, {}), text_tokenizer=text_tokenizer)
+        sched = sampler.build_schedule(["rgb@224"], ["tok_depth@224", "caption"])
+        # roar 1-step for tok_depth + 1 AR step for caption
+        assert len(sched) == 2
+        assert sched[0]["target_domain"] == "tok_depth@224"
+        assert sched[0]["scheme"] == "roar"
+        assert sched[1]["scheme"] == "autoregressive"
+        assert DEFAULTS_RGB2X["tok_depth@224"]["cfg_scale"] == 2.0
