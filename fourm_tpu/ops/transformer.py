@@ -63,6 +63,33 @@ def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.nd
     return bias[:, None, :, :]  # (B, 1, Q or 1, K)
 
 
+# Global attention implementation switch: "xla" (differentiable, default) or
+# "pallas" (fused VMEM-resident kernel, inference-only — pallas_call has no vjp).
+# GenerationSampler and the VQ tokenize path enable pallas via use_pallas_attention().
+_ATTN_IMPL = "xla"
+
+
+def set_attention_impl(impl: str):
+    global _ATTN_IMPL
+    assert impl in ("xla", "pallas")
+    _ATTN_IMPL = impl
+
+
+class use_pallas_attention:
+    """Context manager: route dot_product_attention through the Pallas kernel
+    (trace-time switch; use around inference jit boundaries only)."""
+
+    def __init__(self, enable: bool = True):
+        self.impl = "pallas" if enable else "xla"
+
+    def __enter__(self):
+        self.prev = _ATTN_IMPL
+        set_attention_impl(self.impl)
+
+    def __exit__(self, *exc):
+        set_attention_impl(self.prev)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -74,6 +101,10 @@ def dot_product_attention(
 
     Logits/softmax in fp32 for bf16 stability; output cast back to q.dtype.
     """
+    if _ATTN_IMPL == "pallas" and jax.default_backend() == "tpu":
+        from ..kernels.attention import pallas_attention
+
+        return pallas_attention(q, k, v, bias, allow_zero_attn=allow_zero_attn)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale

@@ -127,6 +127,10 @@ class VectorQuantize(nn.Module):
     sample_codebook_temp: float = 0.0
     norm_latents: bool = False
     kmeans_init: bool = False
+    # nearest-code implementation for inference: "xla" | "pallas" (fused kernel,
+    # bit-identical with precision="highest"; training always uses XLA since the
+    # EMA update needs the one-hot assignments and pallas_call has no vjp)
+    nearest_impl: str = "xla"
 
     def setup(self):
         cdim = self.codebook_dim or self.dim
@@ -264,6 +268,13 @@ class VectorQuantize(nn.Module):
         if self.sample_codebook_temp > 0 and rng is not None:
             rng, rng_g = jax.random.split(rng)
             ind = gumbel_sample(rng_g, dist, self.sample_codebook_temp)
+        elif (not train) and self.nearest_impl == "pallas" and jax.default_backend() == "tpu":
+            from ..kernels.vq_codebook import pallas_nearest_code, pallas_nearest_code_cosine
+
+            if self.use_cosine_sim:
+                ind = pallas_nearest_code_cosine(flatten_n, l2norm(embed))
+            else:
+                ind = pallas_nearest_code(flatten, embed)
         else:
             ind = jnp.argmax(dist, axis=-1)
 

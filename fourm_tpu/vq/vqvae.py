@@ -53,6 +53,7 @@ class VQ(nn.Module):
     kmeans_init: bool = False
     undo_std: bool = False
     freeze_enc: bool = False
+    nearest_impl: str = "xla"  # "pallas" = fused codebook kernel at inference
     dtype: str = "float32"
 
     @property
@@ -85,7 +86,7 @@ class VQ(nn.Module):
             threshold_ema_dead_code=self.threshold_ema_dead_code,
             code_replacement_policy=self.code_replacement_policy,
             commitment_weight=self.commitment_weight, norm_latents=self.norm_latents,
-            kmeans_init=self.kmeans_init, name="quantize",
+            kmeans_init=self.kmeans_init, nearest_impl=self.nearest_impl, name="quantize",
         )
 
     # ------------------------------------------------------------- interface
