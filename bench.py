@@ -1,72 +1,91 @@
-"""Benchmark: 4M-B (mod-7) training-step throughput, samples/sec/chip.
+"""Benchmark: RGB-to-all chained generation, samples/sec/chip — the BASELINE.json
+headline metric ("Samples/sec/chip RGB-to-all (4M-21 B/XL)").
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. Runs on whatever
-jax.devices() provides (one real TPU chip under the driver). The reference
-publishes no throughput numbers (SURVEY.md §6), so vs_baseline is reported
-against an A100 DDP estimate once measured; until then it is null.
+Measures the full chained any-to-any token generation of the Demo4MSampler default
+RGB->X schedule over the 4M-21 modality set (8 image-token targets via ROAR + 6
+autoregressive sequence targets with KV-cached decoding), with the Pallas fused
+attention kernel, bf16, on whatever jax.devices() provides (one v5e chip under the
+driver). Untrained weights time identically to trained ones for the fixed-shape
+parts; AR decoding without EOS runs to the full target length, making this a
+CONSERVATIVE (worst-case) number.
 
-Will be upgraded to the BASELINE.json headline metric (RGB-to-all generation
-samples/sec/chip) once the generation engine lands.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The reference
+repo publishes no throughput numbers (SURVEY.md §6), so vs_baseline is null until
+an A100 measurement of the reference exists.
 """
 
 import json
 import time
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fourm_tpu.api import FourMSampler
+    from fourm_tpu.generate import init_empty_target_modality, init_full_input_modality
     from fourm_tpu.models import FourM, create_fourm_config
-    from fourm_tpu.parallel import build_train_step, init_train_state, make_mesh
-    from fourm_tpu.utils.optim import cosine_schedule, create_optimizer
+    from fourm_tpu.ops.transformer import use_pallas_attention
     from fourm_tpu.utils.synthetic import (
-        MOD7_DECODER_MODALITIES,
-        MOD7_MODALITIES,
+        MOD21_DECODER_MODALITIES,
+        MOD21_MODALITIES,
         synthetic_mod_batch,
     )
 
-    B = 32  # per-chip batch
-    n_dev = len(jax.devices())
-    mesh = make_mesh(data=n_dev, fsdp=1)
+    B = 4  # batch of images generated together per chip
+    TARGETS = [
+        "tok_clip@224", "tok_dinov2@224", "tok_imagebind@224", "tok_depth@224",
+        "tok_normal@224", "tok_semseg@224", "tok_canny_edge@224", "tok_sam_edge@224",
+        "caption", "det", "human_poses", "sam_instance", "color_palette", "metadata",
+    ]
 
     cfg = create_fourm_config(
-        "fm_base_12e_12d_swiglu_nobias",
-        encoder_modalities=MOD7_MODALITIES,
-        decoder_modalities=MOD7_DECODER_MODALITIES,
+        "fm_base_12e_12d_swiglu_qknorm_nobias",
+        encoder_modalities=MOD21_MODALITIES,
+        decoder_modalities=MOD21_DECODER_MODALITIES,
         dtype="bfloat16",
     )
     model = FourM(cfg)
-    batch = jax.tree.map(
-        jnp.asarray, synthetic_mod_batch(MOD7_MODALITIES, batch_size=B * n_dev, seed=0)
+    init_batch = jax.tree.map(
+        jnp.asarray, synthetic_mod_batch(MOD21_MODALITIES, 1, 64, 64, seed=0)
     )
-    example = jax.tree.map(lambda x: x[:1], batch)
-    params_shape = jax.eval_shape(lambda r: model.init(r, example, 128, 128), jax.random.key(0))
-    tx = create_optimizer(params_shape, cosine_schedule(1e-4, 1000, 10), clip_grad=1.0)
-    state, shardings = init_train_state(
-        model, tx, example, 128, 128, jax.random.key(0), mesh=mesh
-    )
-    step = build_train_step(model, tx, 128, 128, mesh=mesh, state_shardings=shardings)
+    params = model.init(jax.random.key(0), init_batch, 64, 64)
+    sampler = FourMSampler(fm=(model, params))
 
-    # warmup / compile. NOTE: under the axon tunnel block_until_ready does not
-    # wait for remote completion — a host fetch (float()) is the reliable fence.
-    state, metrics = step(state, batch, jax.random.key(1))
-    _ = float(metrics["loss"])
+    rng = np.random.RandomState(0)
+    sample = {"rgb@224": rng.rand(B, 224, 224, 3).astype(np.float32)}
+    mod_dict = sampler.prepare_sample(sample, ["rgb@224"], TARGETS, batch_size=B)
+    schedule = sampler.build_schedule(["rgb@224"], TARGETS)
 
-    iters = 20
+    def run(seed):
+        with use_pallas_attention():
+            out = sampler.generate(dict(mod_dict), schedule, seed=seed)
+        # fence: fetch one token tensor per target to host
+        for t in TARGETS:
+            _ = np.asarray(out[t]["tensor"][0, :1])
+        return out
+
+    t0 = time.perf_counter()
+    run(0)  # compile
+    compile_s = time.perf_counter() - t0
+
+    iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch, jax.random.key(2 + i))
-    _ = float(metrics["loss"])
+        run(1 + i)
     dt = time.perf_counter() - t0
+    samples_per_sec_chip = B * iters / dt / len(jax.devices())
 
-    samples_per_sec_chip = B * n_dev * iters / dt / n_dev
     print(json.dumps({
-        "metric": "4M-B mod7 train-step samples/sec/chip (bf16, 128in/128out tokens)",
-        "value": round(samples_per_sec_chip, 2),
+        "metric": "RGB-to-all chained generation samples/sec/chip (4M-21 B, 14 targets, "
+                  "ROAR+AR, Pallas attention, bf16, untrained-EOS worst case)",
+        "value": round(samples_per_sec_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
     }))
+    print(f"# compile {compile_s:.0f}s, steady-state {dt / iters:.2f}s per {B}-image batch")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,8 @@
 from .quantizer import VectorQuantize, euclidean_distance_logits, kmeans, l2norm
 from .scheduling import (
+    PNDMScheduler,
+    pndm_sample,
+    pndm_step,
     DDIMScheduler,
     DDPMScheduler,
     DiffusionScheduler,
@@ -13,3 +16,4 @@ from .uvit import UVIT_PRESETS, UViT, build_uvit
 from .vit_models import VIT_SIZES, ViTDecoder, ViTEncoder, build_vit_decoder, build_vit_encoder
 from .mlp_models import BottleneckMLP, StandardMLP, build_mlp
 from .vqvae import VQ, VQVAE, DiVAE, divae_decode_quant, divae_decode_tokens
+from .memcodes import Memcodes

@@ -254,8 +254,74 @@ def DDPMScheduler(**kw) -> DiffusionScheduler:
     return DiffusionScheduler(kind="ddpm", **kw)
 
 
+def PNDMScheduler(**kw) -> DiffusionScheduler:
+    """PNDM / PLMS (reference scheduling_pndm.py:74-430, skip_prk_steps mode).
+
+    The pseudo-linear-multistep update keeps a 4-deep epsilon history; use
+    `pndm_sample` (the history threads through the scan carry). The reference's
+    duplicated-first-timestep refinement is simplified to a first-order step."""
+    kw.setdefault("prediction_type", "epsilon")
+    return DiffusionScheduler(kind="pndm", **kw)
+
+
 def DDIMScheduler(**kw) -> DiffusionScheduler:
     return DiffusionScheduler(kind="ddim", **kw)
+
+
+def pndm_step(scheduler: DiffusionScheduler, eps: jnp.ndarray, t, prev_t,
+              sample: jnp.ndarray, ets: jnp.ndarray, n_ets: jnp.ndarray):
+    """One PLMS step. ets: (4, ...) epsilon history (newest first), n_ets: count.
+    Returns (prev_sample, new_ets, new_n_ets)."""
+    sample = sample.astype(jnp.float32)
+    eps = eps.astype(jnp.float32)
+    # convert prediction to epsilon space if needed
+    acp = jnp.asarray(scheduler.alphas_cumprod)
+    ndim = sample.ndim
+    a_t = _expand(jnp.take(acp, t), ndim)
+    if scheduler.prediction_type == "v_prediction":
+        eps = jnp.sqrt(a_t) * eps + jnp.sqrt(1 - a_t) * sample
+    elif scheduler.prediction_type == "sample":
+        eps = (sample - jnp.sqrt(a_t) * eps) / jnp.sqrt(1 - a_t)
+
+    new_ets = jnp.concatenate([eps[None], ets[:-1]], axis=0)
+    n = jnp.minimum(n_ets + 1, 4)
+    e0, e1, e2, e3 = new_ets[0], new_ets[1], new_ets[2], new_ets[3]
+    o1 = e0
+    o2 = (3 * e0 - e1) / 2
+    o3 = (23 * e0 - 16 * e1 + 5 * e2) / 12
+    o4 = (55 * e0 - 59 * e1 + 37 * e2 - 9 * e3) / 24
+    out = jnp.where(n == 1, o1, jnp.where(n == 2, o2, jnp.where(n == 3, o3, o4)))
+
+    a_prev = _expand(jnp.where(prev_t >= 0, jnp.take(acp, jnp.clip(prev_t, 0)), 1.0), ndim)
+    b_t, b_prev = 1 - a_t, 1 - a_prev
+    sample_coeff = jnp.sqrt(a_prev / a_t)
+    denom = a_t * jnp.sqrt(b_prev) + jnp.sqrt(a_t * b_t * a_prev)
+    prev = sample_coeff * sample - (a_prev - a_t) * out / denom
+    return prev, new_ets, n
+
+
+def pndm_sample(model_fn, scheduler: DiffusionScheduler, rng: jax.Array,
+                cond: jnp.ndarray, sample_shape, timesteps: Optional[int] = None,
+                scheduler_timesteps_mode: str = "leading") -> jnp.ndarray:
+    """PLMS sampling loop as one lax.scan."""
+    n_steps = timesteps or scheduler.num_train_timesteps
+    ts = spaced_timesteps(scheduler.num_train_timesteps, n_steps, scheduler_timesteps_mode)
+    prev_ts = ts - scheduler.num_train_timesteps // n_steps
+    rng, rng_init = jax.random.split(rng)
+    image = jax.random.normal(rng_init, sample_shape, jnp.float32)
+    ets0 = jnp.zeros((4,) + tuple(sample_shape), jnp.float32)
+
+    def body(carry, tprev):
+        image, ets, n_ets = carry
+        t, prev_t = tprev
+        eps = model_fn(image, t, cond)
+        image, ets, n_ets = pndm_step(scheduler, eps, t, prev_t, image, ets, n_ets)
+        return (image, ets, n_ets), None
+
+    (image, _, _), _ = jax.lax.scan(
+        body, (image, ets0, jnp.int32(0)), (jnp.asarray(ts), jnp.asarray(prev_ts))
+    )
+    return image
 
 
 # ------------------------------------------------------------------ pipeline

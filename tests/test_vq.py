@@ -305,3 +305,39 @@ class TestViTBackbones:
         p = dec.init(jax.random.key(0), x)
         out = dec.apply(p, x)
         assert out.shape == (1, 32, 32, 3)
+
+
+class TestMemcodes:
+    def test_roundtrip_and_train(self):
+        from fourm_tpu.vq import Memcodes
+
+        mc = Memcodes(dim=32, codebook_size=64, heads=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 32).astype(np.float32))
+        variables = mc.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, x)
+        out, ind, loss = mc.apply(variables, x)
+        assert out.shape == x.shape and ind.shape == (2, 10, 2)
+        emb = mc.apply(variables, ind, method="indices_to_embedding")
+        np.testing.assert_allclose(np.asarray(emb), np.asarray(out), atol=1e-5)
+        # training path has gradients through the straight-through gumbel
+        def loss_fn(v):
+            o, _, _ = mc.apply(v, x, train=True, rngs={"rng": jax.random.key(2)})
+            return jnp.sum(o ** 2)
+        g = jax.grad(loss_fn)(variables)
+        assert float(jnp.abs(g["params"]["codes"]).sum()) > 0
+
+
+class TestPNDM:
+    def test_pndm_sample_runs(self):
+        from fourm_tpu.vq import PNDMScheduler, pndm_sample
+
+        sched = PNDMScheduler(num_train_timesteps=100, beta_schedule="linear",
+                              zero_terminal_snr=False, clip_sample=False,
+                              thresholding=False)
+
+        def model_fn(x, t, cond):
+            return 0.1 * x + 0.01 * cond
+
+        cond = jnp.ones((1, 8, 8, 3))
+        img = pndm_sample(model_fn, sched, jax.random.key(0), cond, (1, 8, 8, 3),
+                          timesteps=10)
+        assert np.isfinite(np.asarray(img)).all()
