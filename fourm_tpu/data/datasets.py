@@ -370,3 +370,33 @@ def build_fm_pretraining_dataset(
         data_path, list(all_domains), modality_transforms, transform=transform,
         modality_paths=paths, max_samples=max_samples,
     )
+
+
+def build_huggingface_text_dataset(
+    data_path: str,
+    masking,
+    split: str = "train",
+    streaming: bool = True,
+    rename_text_to_caption: bool = True,
+    shuffle_buffer: int = 10_000,
+    seed: int = 0,
+    num_hosts: int = 1,
+    host_id: int = 0,
+):
+    """Text-only pretraining from HF datasets (e.g. C4), split across hosts
+    (reference build_huggingface_pretraining_dataloader, unified_datasets.py:445-484).
+    Yields masked mod dicts with only the 'caption' modality."""
+    from datasets import load_dataset
+    from datasets.distributed import split_dataset_by_node
+
+    ds = load_dataset(data_path, split=split, streaming=streaming)
+    ds = split_dataset_by_node(ds, rank=host_id, world_size=num_hosts)
+    ds = ds.shuffle(seed=seed, buffer_size=shuffle_buffer)
+
+    def gen():
+        while True:
+            for row in ds:
+                text = row.get("text" if rename_text_to_caption else "caption", "")
+                yield masking({"caption": text})
+
+    return gen()

@@ -755,6 +755,83 @@ class JSONTransform(AbstractTransform):
         return sample
 
 
+class SAMInstanceTokTransform(AbstractTransform):
+    """Pre-tokenized SAM instances -> query-point-conditioned token string
+    (reference :1231-1333): for random/grid query points, list the (bbox +
+    BottleneckMLP token ids) of every instance polygon containing the point."""
+
+    def __init__(self, image_size: int = 224, points_per_side: int = 7,
+                 point_order: str = "random"):
+        self.H = self.W = image_size
+        self.points_per_h = self.points_per_w = points_per_side
+        assert point_order in ("random", "grid")
+        self.point_order = point_order
+        self._grid = None
+
+    def get_query_points(self) -> np.ndarray:
+        if self.point_order == "grid":
+            if self._grid is None:
+                y, x = np.meshgrid(
+                    np.linspace(0, self.H, self.points_per_h + 2)[1:-1],
+                    np.linspace(0, self.W, self.points_per_w + 2)[1:-1],
+                )
+                self._grid = np.stack((x, y), axis=2).astype(np.int32).reshape(-1, 2)
+            return self._grid
+        y = np.random.randint(0, self.H, self.points_per_h)
+        x = np.random.randint(0, self.W, self.points_per_w)
+        return np.concatenate((x[:, None], y[:, None]), axis=1)
+
+    def get_target_tokens(self, sample, query_points):
+        import cv2
+
+        instances_coords = [coords[0] for coords in sample["points"]]
+        tokens = sample["token_ids"]
+        bboxes = sample["bbox"]
+        out = {}
+        for point in query_points:
+            point = (int(point[0]), int(point[1]))
+            out[point] = []
+            for coords, tok, bbox in zip(instances_coords, tokens, bboxes):
+                if cv2.pointPolygonTest(coords, point, measureDist=True) >= 0:
+                    out[point].append((tok, bbox))
+        return out
+
+    def convert_target_tokens_to_string(self, target_tokens) -> str:
+        result = []
+        points = list(target_tokens.keys())
+        random.shuffle(points)
+        for point in points:
+            result += ["point", f"v0={point[1]}", f"v1={point[0]}"]
+            random.shuffle(target_tokens[point])
+            if not target_tokens[point]:
+                result.append("none")
+            for tok, bbox in target_tokens[point]:
+                result.append("polygon")
+                ymin, xmin, ymax, xmax = np.asarray(bbox).astype(np.int32)
+                result += [f"v0={xmin}", f"v1={ymin}", f"v2={xmax}", f"v3={ymax}"]
+                for idx in np.asarray(tok).tolist():
+                    result.append(f"v0={idx}" if idx < 512 else f"v1={idx - 512}")
+        return " ".join(result)
+
+    def load(self, path):
+        return np.load(path, allow_pickle=True)
+
+    def preprocess(self, sample):
+        for s in sample:
+            s["token_ids"] = np.asarray(s["token_ids"]).astype(np.int32)
+        return sample
+
+    def image_augment(self, v, crop_coords, flip, orig_size, target_size,
+                      rand_aug_idx, resample_mode=None):
+        if rand_aug_idx is None:
+            raise ValueError("pre-tokenized SAM instances need an augmentation index")
+        return v[rand_aug_idx]
+
+    def postprocess(self, sample):
+        qp = self.get_query_points()
+        return self.convert_target_tokens_to_string(self.get_target_tokens(sample, qp))
+
+
 # ---------------------------------------------------------------- registries
 # (reference modality_info.py:386-427)
 
@@ -779,7 +856,7 @@ def default_modality_transforms() -> Dict[str, AbstractTransform]:
         "tok_imagebind": TokTransform(),
         "tok_dinov2_global": TokTransform(),
         "tok_imagebind_global": TokTransform(),
-        "sam_instance": TokTransform(),
+        "sam_instance": SAMInstanceTokTransform(image_size=224, points_per_side=7, point_order="random"),
         "mask_valid": MaskTransform(mask_pool_size=1),
     }
 

@@ -402,6 +402,40 @@ class GenerationSampler:
             raise ValueError(f"invalid target modality type {spec.type}")
         return mod_dict
 
+    def generate_sam_dense(self, mod_dict, schedule, text_tokenizer=None,
+                           batch_size: int = 16, key: str = "sam_instance",
+                           seed: Optional[int] = None):
+        """Dense SAM instance prediction (reference generate.py:1229-1273): run the
+        sam_instance schedule over `batch_size` replicas (each samples different
+        random query points via the AR sampler) and concatenate all merged
+        sequences into one dense instance list."""
+        from .init_helpers import expand_to_batch as _expand
+
+        tok = text_tokenizer or self.text_tokenizer
+        sentinel_ids = set(get_sentinel_to_id_mapping(tok).values())
+        batch = {m: {k: np.asarray(v) for k, v in d.items()} for m, d in mod_dict.items()}
+        batch = _expand(batch, batch_size)
+        schedule = [s for s in schedule if s["target_domain"] == key]
+        out = self.generate(batch, schedule, seed=seed, text_tokenizer=tok)
+
+        merged_all: list = []
+        tensor = np.asarray(out[key]["tensor"])
+        input_mask = np.asarray(out[key]["input_mask"])
+        target_mask = np.asarray(out[key]["target_mask"])
+        for i in range(batch_size):
+            in_seq = tensor[i][~input_mask[i]].tolist()
+            tgt_seq = tensor[i][~target_mask[i]].tolist()
+            merged_all.extend(merge_span_masking(in_seq, tgt_seq, sentinel_ids))
+        merged = jnp.asarray(merged_all, jnp.int32)[None]
+        result = {m: dict(d) for m, d in mod_dict.items()}
+        result[key] = {
+            "tensor": merged,
+            "input_mask": jnp.zeros(merged.shape, bool),
+            "target_mask": jnp.ones(merged.shape, bool),
+            "decoder_attention_mask": jnp.zeros(merged.shape, jnp.int32),
+        }
+        return result
+
     def generate_multi_guided(self, uncond_dict, cond_dicts, schedule, rng=None,
                               text_tokenizer=None, seed: Optional[int] = None):
         """Multi-condition weighted guidance over img targets
