@@ -55,6 +55,139 @@ def _make_kernel(scale: float, allow_zero_attn: bool, has_bias: bool):
     return kernel
 
 
+def _flash_kernel(scale: float, allow_zero_attn: bool, has_bias: bool, n_kblocks: int):
+    """Blocked flash attention with online softmax (for long streams where the
+    one-shot kernel exceeds VMEM; e.g. the 4M-21 full encoder stream, 3024 tokens)."""
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+            b_ref = None
+        ki = pl.program_id(3)
+
+        @pl.when(ki == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        q = q_ref[0, 0].astype(jnp.float32)  # (Bq, Dh)
+        k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dh)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (Bq, Bk)
+        if b_ref is not None:
+            s = s + b_ref[0, 0]
+
+        m_prev = m_scr[:, 0:1]  # (Bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_scr[:, 0:1] = m_new
+        l_scr[:, 0:1] = l_new
+
+        @pl.when(ki == n_kblocks - 1)
+        def _():
+            denom = l_scr[:, 0:1]
+            if allow_zero_attn:  # softmax1: virtual zero logit in the denominator
+                denom = denom + jnp.exp(-m_scr[:, 0:1])
+            o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "allow_zero_attn", "interpret", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,  # (B, H, N, Dh)
+    k: jnp.ndarray,  # (B, H, M, Dh)
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    allow_zero_attn: bool = False,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, N, Dh = q.shape
+    M = k.shape[2]
+    scale = Dh**-0.5
+    block_q = min(block_q, N)
+    block_k = min(block_k, M)
+    pad_q = (-N) % block_q
+    pad_k = (-M) % block_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    Np, Mp = q.shape[2], k.shape[2]
+    nq, nk = Np // block_q, Mp // block_k
+
+    has_bias = bias is not None or pad_k > 0
+    if has_bias:
+        if bias is None:
+            bias = jnp.zeros((B, 1, 1, M), jnp.float32)
+        if bias.shape[2] == 1:
+            bias = jnp.broadcast_to(bias, (B, bias.shape[1], N, M))
+        # padded keys must never be attended
+        bias = jnp.pad(bias.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, pad_q), (0, pad_k)),
+                       constant_values=jnp.finfo(jnp.float32).min)
+        bh = bias.shape[1]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, qi, ki: (b, h, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            (lambda b, h, qi, ki: (b, h, qi, ki)) if bh > 1
+            else (lambda b, h, qi, ki: (b, 0, qi, ki)),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(bias)
+
+    out = pl.pallas_call(
+        _flash_kernel(scale, allow_zero_attn, has_bias, nk),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dh), q.dtype),
+        grid=(B, H, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, Dh), lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denom
+            pltpu.VMEM((block_q, Dh), jnp.float32),  # running accumulator
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Np * Mp * Dh,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=B * H * Np * Mp,
+        ),
+    )(*args)
+    return out[:, :, :N] if pad_q else out
+
+
+# one-shot kernel VMEM budget: logits + bias + q/k/v tiles must fit ~16 MB
+_ONESHOT_MAX_NM = 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("allow_zero_attn", "interpret"))
 def pallas_attention(
     q: jnp.ndarray,  # (B, H, N, Dh)
@@ -67,6 +200,9 @@ def pallas_attention(
     B, H, N, Dh = q.shape
     M = k.shape[2]
     scale = Dh**-0.5
+    if N * M > _ONESHOT_MAX_NM:
+        return flash_attention(q, k, v, bias, allow_zero_attn=allow_zero_attn,
+                               interpret=interpret)
 
     in_specs = [
         pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),

@@ -78,3 +78,32 @@ class TestPallasCodebook:
         x = jnp.asarray(np.eye(8, dtype=np.float32))
         ours = pallas_nearest_code(x, embed, block_n=8, block_k=8, interpret=True)
         np.testing.assert_array_equal(np.asarray(ours), np.arange(8))
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_matches_xla_long_stream(self, with_bias):
+        from fourm_tpu.kernels.attention import flash_attention
+
+        rng = np.random.RandomState(0)
+        B, H, N, M, Dh = 1, 2, 300, 260, 32  # odd sizes exercise padding
+        q = jnp.asarray(rng.randn(B, H, N, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        bias = None
+        if with_bias:
+            mask = jnp.asarray(rng.rand(B, N, M) > 0.5)
+            bias = mask_to_bias(mask, N)
+        golden = dot_product_attention(q, k, v, bias)
+        ours = flash_attention(q, k, v, bias, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=2e-5)
+
+    def test_softmax1_long(self):
+        from fourm_tpu.kernels.attention import flash_attention
+
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(1, 1, 256, 16).astype(np.float32))
+        golden = dot_product_attention(q, q, q, None, allow_zero_attn=True)
+        ours = flash_attention(q, q, q, None, allow_zero_attn=True,
+                               block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=2e-5)
