@@ -321,3 +321,142 @@ def load_fourm_safetensors(path: str, config_override: Optional[Dict] = None):
     config = fourm_config_from_metadata(cfg_dict)
     variables = import_fourm_state_dict(tensors, config)
     return config, variables
+
+
+# ------------------------------------------------ VQ tokenizer import/export
+
+_VQ_SEG_MAP = [
+    (re.compile(r"^blocks_(\d+)$"), lambda m: f"blocks.{m.group(1)}"),
+    (re.compile(r"^mid_block_(\d+)$"), lambda m: f"mid_block.{m.group(1)}"),
+    (re.compile(r"^down_(\d+)_resnet_(\d+)$"), lambda m: f"down_blocks.{m.group(1)}.resnets.{m.group(2)}"),
+    (re.compile(r"^down_(\d+)_downsample$"), lambda m: f"down_blocks.{m.group(1)}.downsamplers.0"),
+    (re.compile(r"^up_(\d+)_resnet_(\d+)$"), lambda m: f"up_blocks.{m.group(1)}.resnets.{m.group(2)}"),
+    (re.compile(r"^up_(\d+)_upsample$"), lambda m: f"up_blocks.{m.group(1)}.upsamplers.0"),
+    (re.compile(r"^out_conv_(\d+)$"), lambda m: f"out_conv.{m.group(1)}"),
+    (re.compile(r"^mlp_fc(\d)$"), lambda m: f"mlp.fc{m.group(1)}"),
+    (re.compile(r"^xattn_(q|kv|proj)$"), lambda m: f"cross_attn.{m.group(1)}"),
+    (re.compile(r"^emb_proj_(\d)$"), lambda m: f"emb_proj.{m.group(1)}"),
+    (re.compile(r"^block_(\d)$"), lambda m: f"block.{m.group(1)}"),
+    (re.compile(r"^blocks_(\d+)\b"), lambda m: f"blocks.{m.group(1)}"),
+    (re.compile(r"^layernorms_(\d+)$"), lambda m: f"layernorms.{m.group(1)}"),
+    (re.compile(r"^layers_(\d+)$"), lambda m: f"layers.{m.group(1)}"),
+]
+
+
+def _vq_torch_name(flax_path: list) -> str:
+    """Map a flax VQ param path to the reference torch dotted name."""
+    segs = []
+    for seg in flax_path:
+        for pat, repl in _VQ_SEG_MAP:
+            m = pat.match(seg)
+            if m:
+                seg = repl(m)
+                break
+        segs.append(seg)
+    name = ".".join(segs)
+    # leaf renames
+    name = re.sub(r"\.kernel$", ".weight", name)
+    name = re.sub(r"\.embedding$", ".weight", name)
+    name = re.sub(r"\.scale$", ".weight", name)  # flax nn.LayerNorm/GroupNorm
+    return name
+
+
+def export_vq_torch_state(variables) -> Dict[str, np.ndarray]:
+    """Export a VQ/VQVAE/DiVAE variables tree to a reference-format torch state
+    dict (inverse-mapped names, transposed kernels)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + [k])
+                continue
+            arr = np.asarray(v, dtype=np.float32)
+            name = _vq_torch_name(path + [k])
+            if k == "kernel":
+                if arr.ndim == 2:
+                    arr = np.ascontiguousarray(arr.T)
+                elif arr.ndim == 4 and path[-1] == "conv_out":
+                    # ConvTranspose (kh, kw, out, in) -> (in, out, kh, kw)
+                    arr = np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
+                elif arr.ndim == 4:
+                    arr = np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
+            out[name] = arr
+
+    walk(variables["params"], [])
+    cb = variables.get("codebook", {})
+    # nested module path: quantize codebook state (reference quantize._codebook.*)
+    def walk_cb(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk_cb(v, path + [k])
+            else:
+                prefix = ".".join(path) if path else "quantize"
+                out[f"{prefix}._codebook.{k}"] = np.asarray(v, dtype=np.float32)
+
+    walk_cb(cb, [])
+    return out
+
+
+def import_vq_state_dict(state_dict: Dict[str, Any], variables) -> Dict:
+    """Import a reference VQ torch state dict into the structure of `variables`
+    (from model.init). Keys absent from the state dict (e.g. sincos pos_emb
+    buffers) keep their initialized values."""
+    state = {k: _np(v) for k, v in state_dict.items()}
+    missing = []
+
+    def walk(tree, path):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, path + [k])
+                continue
+            name = _vq_torch_name(path + [k])
+            if name not in state:
+                if "pos_emb" in name or name.endswith("initted"):
+                    out[k] = v
+                    continue
+                missing.append(name)
+                out[k] = v
+                continue
+            arr = state[name]
+            if k == "kernel":
+                if np.ndim(arr) == 2:
+                    arr = np.ascontiguousarray(arr.T)
+                elif np.ndim(arr) == 4:
+                    # both Conv (out,in,kh,kw)->(kh,kw,in,out) and ConvTranspose
+                    # (in,out,kh,kw)->(kh,kw,out,in) are the same permutation
+                    arr = np.ascontiguousarray(np.transpose(arr, (2, 3, 1, 0)))
+            out[k] = jnp.asarray(arr).astype(v.dtype).reshape(v.shape)
+        return out
+
+    params = walk(variables["params"], [])
+    result = {"params": params}
+    if "codebook" in variables:
+        cb = {}
+        def walk_cb(tree, path):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    out[k] = walk_cb(v, path + [k])
+                    continue
+                prefix = ".".join(path) if path else "quantize"
+                name = f"{prefix}._codebook.{k}"
+                out[k] = jnp.asarray(state[name]).reshape(v.shape) if name in state else v
+            return out
+        result["codebook"] = walk_cb(variables["codebook"], [])
+    if missing:
+        print(f"[vq import] {len(missing)} params not found in state dict, kept init: "
+              f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+    return result
+
+
+def load_vq_safetensors(path: str, model, example_input, rngs=None):
+    """Load a released tokenizer safetensors checkpoint into a VQ/VQVAE/DiVAE model.
+    Returns (config_metadata, variables)."""
+    import jax
+
+    tensors, metadata = load_safetensors(path)
+    rngs = rngs or {"params": jax.random.key(0), "rng": jax.random.key(1)}
+    variables = model.init(rngs, example_input)
+    return metadata.get("config", {}), import_vq_state_dict(tensors, variables)

@@ -134,6 +134,9 @@ def create_optimizer(
     clip_grad: Optional[float] = None,
     skip_grad: Optional[float] = None,
     frozen_mask=None,
+    layer_decay: Optional[float] = None,
+    encoder_depth: int = 0,
+    decoder_depth: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW with the 4M parameter-group rules (reference optim_factory.py:171-245).
 
@@ -145,6 +148,9 @@ def create_optimizer(
     chain = []
     if clip_grad is not None:
         chain.append(optax.clip_by_global_norm(clip_grad))
+    if layer_decay is not None and layer_decay < 1.0:
+        chain.append(scale_by_tree(layerwise_lr_scales(
+            params, layer_decay, encoder_depth, decoder_depth)))
     chain.append(
         optax.adamw(
             learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
@@ -157,6 +163,51 @@ def create_optimizer(
     if frozen_mask is not None:
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
     return tx
+
+
+def fourm_layer_id(path_str: str, encoder_depth: int, decoder_depth: int) -> int:
+    """Layer id for per-layer LR decay (reference optim_factory.py:104-168):
+    embeddings/mod-embs/mask-token -> 0, encoder block i -> i+1, decoder block j ->
+    encoder_depth+1+j (+norms at the following boundary), heads -> max."""
+    import re as _re
+
+    top = path_str.split("/")[0]
+    m = _re.fullmatch(r"encoder_(\d+)", top)
+    if m:
+        return int(m.group(1)) + 1
+    if top == "encoder_norm":
+        return encoder_depth + 1
+    m = _re.fullmatch(r"decoder_(\d+)", top)
+    if m:
+        return encoder_depth + 1 + int(m.group(1)) + 1
+    if top in ("decoder_norm", "decoder_proj_context") or top.startswith("decoder_embeddings"):
+        return encoder_depth + decoder_depth + 2
+    if top == "head":
+        return encoder_depth + decoder_depth + 2
+    return 0  # embeddings, mod_emb, mask_token, register tokens
+
+
+def layerwise_lr_scales(params, decay: float, encoder_depth: int, decoder_depth: int = 0):
+    """Pytree of per-parameter LR multipliers decay^(max_id - layer_id)."""
+    max_id = encoder_depth + decoder_depth + 2
+
+    def scale(path, p):
+        lid = fourm_layer_id(_path_str(path), encoder_depth, decoder_depth)
+        return decay ** (max_id - lid)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def scale_by_tree(scales) -> optax.GradientTransformation:
+    """Multiply each update leaf by its precomputed scalar (per-layer LR decay)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None, **extra):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def skip_large_grads(tx: optax.GradientTransformation, threshold: float):

@@ -172,6 +172,123 @@ class AdaLNBlock(nn.Module):
         return x
 
 
+class AdaLNDecoderBlock(nn.Module):
+    """adaLN transformer block with cross-attention to a conditioning sequence
+    (reference uvit.py:256-289)."""
+
+    dim: int
+    num_heads: int
+    dim_context: int
+    temb_dim: Optional[int] = None
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    skip: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, temb=None, xa_mask=None, skip_connection=None):
+        D = self.dim
+        if self.temb_dim is not None:
+            st = nn.silu(temb)
+            mod = nn.Dense(6 * D, dtype=self.dtype, name="adaLN_modulation")(st)
+            (shift_msa, scale_msa, shift_mxa, scale_mxa,
+             shift_mlp, scale_mlp) = jnp.split(mod[:, None, :], 6, axis=-1)
+            gates = nn.Dense(3 * D, dtype=self.dtype, name="adaLN_gate",
+                             kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros)(st)
+            gate_msa, gate_mxa, gate_mlp = jnp.split(gates[:, None, :], 3, axis=-1)
+        else:
+            shift_msa = scale_msa = shift_mxa = scale_mxa = shift_mlp = scale_mlp = 0.0
+            gate_msa = gate_mxa = gate_mlp = 1.0
+        if self.skip:
+            x = nn.Dense(D, dtype=self.dtype, name="skip_linear")(
+                jnp.concatenate([x, skip_connection], axis=-1))
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + gate_msa * AdaLNAttention(
+            dim=D, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            dtype=self.dtype, name="self_attn",
+        )(modulate(h, shift_msa, scale_msa))
+        # cross-attention: queries from x, keys/values from the conditioning
+        B, N, _ = x.shape
+        M = context.shape[1]
+        hd = D // self.num_heads
+        hq = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="query_norm")(x)
+        hq = modulate(hq, shift_mxa, scale_mxa)
+        ctx = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="context_norm")(context)
+        q = nn.Dense(D, use_bias=self.qkv_bias, dtype=self.dtype, name="xattn_q")(hq)
+        kv = nn.Dense(2 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="xattn_kv")(ctx)
+        q = jnp.moveaxis(q.reshape(B, N, self.num_heads, hd), 1, 2)
+        kv = kv.reshape(B, M, 2, self.num_heads, hd)
+        kk, vv = [jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2)]
+        out = dot_product_attention(q, kk, vv, mask_to_bias(xa_mask, N))
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, D)
+        x = x + gate_mxa * nn.Dense(D, dtype=self.dtype, name="xattn_proj")(out)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = modulate(h, shift_mlp, scale_mlp)
+        h = nn.Dense(int(D * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(D, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + gate_mlp * h
+
+
+class TransformerXattnCond(nn.Module):
+    """UViT bottleneck with cross-attention conditioning (reference uvit.py:413-527)."""
+
+    unet_dim: int
+    cond_dim: int
+    mid_layers: int = 12
+    mid_num_heads: int = 12
+    mid_dim: int = 768
+    mid_mlp_ratio: float = 4.0
+    mid_qkv_bias: bool = True
+    time_embed_dim: int = 512
+    hw_posemb: int = 16
+    use_long_skip: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, cond, cond_mask=None):
+        B, H, W, _ = x.shape
+        x = x.reshape(B, H * W, -1)
+        x = nn.Dense(self.mid_dim, dtype=self.dtype, name="mid_proj_in")(x)
+        pos = build_2d_sincos_posemb(self.hw_posemb, self.hw_posemb, self.mid_dim)
+        pos = pos.reshape(self.hw_posemb, self.hw_posemb, -1)
+        if (H, W) != (self.hw_posemb, self.hw_posemb):
+            pos = jax.image.resize(pos, (H, W, self.mid_dim), method="nearest")
+        x = x + pos.reshape(1, H * W, self.mid_dim).astype(x.dtype)
+
+        ctx = cond.reshape(B, cond.shape[1] * cond.shape[2], cond.shape[-1])
+        xa_mask = None
+        if cond_mask is not None:
+            xa_mask = cond_mask.reshape(B, 1, -1)  # True = not attended
+
+        blocks = [
+            AdaLNDecoderBlock(
+                dim=self.mid_dim, num_heads=self.mid_num_heads, dim_context=self.cond_dim,
+                temb_dim=self.time_embed_dim, mlp_ratio=self.mid_mlp_ratio,
+                qkv_bias=self.mid_qkv_bias,
+                skip=(i > self.mid_layers // 2 and self.use_long_skip),
+                dtype=self.dtype, name=f"mid_block_{i}",
+            )
+            for i in range(self.mid_layers)
+        ]
+        if not self.use_long_skip:
+            for blk in blocks:
+                x = blk(x, ctx, temb, xa_mask)
+        else:
+            skips = []
+            n = self.mid_layers // 2
+            for blk in blocks[:n]:
+                x = blk(x, ctx, temb, xa_mask)
+                skips.append(x)
+            x = blocks[n](x, ctx, temb, xa_mask)
+            for blk in blocks[n + 1:]:
+                x = blk(x, ctx, temb, xa_mask, skip_connection=skips.pop())
+
+        x = nn.Dense(self.unet_dim, dtype=self.dtype, name="mid_proj_out")(x)
+        return x.reshape(B, H, W, self.unet_dim)
+
+
 class TransformerConcatCond(nn.Module):
     """UViT bottleneck with latent-concat conditioning (reference uvit.py:291-412)."""
 
@@ -322,9 +439,8 @@ class UViT(nn.Module):
             x = Downsample2D(self.block_out_channels[-1], dtype=self.dtype, name="downsample_mid")(x)
 
         # mid transformer
-        if self.cond_type != "concat":
-            raise NotImplementedError("xattn conditioning planned; concat covers all 4M DiVAE tokenizers")
-        x = TransformerConcatCond(
+        mid_cls = TransformerConcatCond if self.cond_type == "concat" else TransformerXattnCond
+        x = mid_cls(
             unet_dim=self.block_out_channels[-1], cond_dim=self.cond_dim,
             mid_layers=self.mid_layers, mid_num_heads=self.mid_num_heads,
             mid_dim=self.mid_dim, mid_mlp_ratio=self.mid_mlp_ratio,

@@ -120,3 +120,45 @@ class TestOrbax:
         assert step == 9
         np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                       np.asarray(state["params"]["w"]))
+
+
+class TestVQStateDictRoundTrip:
+    def test_vqvae_roundtrip(self):
+        from fourm_tpu.vq import VQVAE
+        from fourm_tpu.utils.checkpoint import export_vq_torch_state, import_vq_state_dict
+
+        m = VQVAE(image_size=32, patch_size=4, enc_type="vit_s_enc", dec_type="vit_s_dec",
+                  codebook_size=64, latent_dim=8)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32))
+        v = m.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, x)
+        sd = export_vq_torch_state(v)
+        assert "quantize._codebook.embed" in sd
+        assert "decoder.out_proj.weight" in sd
+        v2 = import_vq_state_dict(sd, v)
+        a, _ = m.apply(v, x)
+        b, _ = m.apply(v2, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(m.apply(v, x, method="tokenize")),
+            np.asarray(m.apply(v2, x, method="tokenize")),
+        )
+
+    def test_divae_roundtrip(self):
+        from fourm_tpu.vq import DiVAE
+        from fourm_tpu.utils.checkpoint import export_vq_torch_state, import_vq_state_dict
+
+        m = DiVAE(image_size=32, patch_size=4, enc_type="vit_s_enc",
+                  dec_type="uvit_b_p4_f16", codebook_size=64, latent_dim=8,
+                  num_train_timesteps=10)
+        rng = np.random.RandomState(0)
+        clean = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+        noised = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+        t = jnp.asarray([3])
+        v = m.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, clean, noised, t)
+        sd = export_vq_torch_state(v)
+        assert any(k.startswith("decoder.mid_block.mid_block.0") for k in sd)
+        assert "decoder.conv_out.weight" in sd
+        v2 = import_vq_state_dict(sd, v)
+        a, _ = m.apply(v, clean, noised, t)
+        b, _ = m.apply(v2, clean, noised, t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
