@@ -17,3 +17,4 @@ from .vit_models import VIT_SIZES, ViTDecoder, ViTEncoder, build_vit_decoder, bu
 from .mlp_models import BottleneckMLP, StandardMLP, build_mlp
 from .vqvae import VQ, VQVAE, DiVAE, divae_decode_quant, divae_decode_tokens
 from .memcodes import Memcodes
+from .unet import PatchedUNetCondCat, UNetModel, unet_patched

@@ -201,16 +201,22 @@ class DiVAE(VQ):
     def setup(self):
         super().setup()
         image_size_dec = self.image_size_dec or self.image_size
-        if "uvit_" not in self.dec_type:
-            raise NotImplementedError(
-                f"dec_type {self.dec_type} not implemented (UViT covers 4M DiVAEs)"
+        if "uvit_" in self.dec_type:
+            self.decoder = UViT(
+                sample_size=image_size_dec, in_channels=self.n_channels,
+                out_channels=self.n_channels, cond_dim=self.latent_dim,
+                cond_type=self.conditioning, dtype=self.compute_dtype, name="decoder",
+                **UVIT_PRESETS[self.dec_type],
             )
-        self.decoder = UViT(
-            sample_size=image_size_dec, in_channels=self.n_channels,
-            out_channels=self.n_channels, cond_dim=self.latent_dim,
-            cond_type=self.conditioning, dtype=self.compute_dtype, name="decoder",
-            **UVIT_PRESETS[self.dec_type],
-        )
+        elif "unet_" in self.dec_type:
+            from .unet import unet_patched
+
+            self.decoder = unet_patched(
+                in_channels=self.n_channels, out_channels=self.n_channels,
+                cond_dim=self.latent_dim, dtype=self.compute_dtype, name="decoder",
+            )
+        else:
+            raise NotImplementedError(f"dec_type {self.dec_type} not implemented")
 
     def noise_scheduler(self) -> DiffusionScheduler:
         return DiffusionScheduler(

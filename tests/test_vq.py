@@ -341,3 +341,41 @@ class TestPNDM:
         img = pndm_sample(model_fn, sched, jax.random.key(0), cond, (1, 8, 8, 3),
                           timesteps=10)
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestPatchedUNet:
+    def test_divae_with_unet_patched(self):
+        """The released RGB/depth/edge DiVAEs use the ADM patched UNet decoder."""
+        from fourm_tpu.vq import DiVAE, divae_decode_tokens
+
+        model = DiVAE(
+            image_size=32, patch_size=4, enc_type="vit_s_enc", dec_type="unet_patched",
+            codebook_size=64, latent_dim=8, num_train_timesteps=10,
+            prediction_type="sample", beta_schedule="linear",
+        )
+        rng = np.random.RandomState(0)
+        clean = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+        noised = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+        t = jnp.asarray([3])
+        variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)},
+                               clean, noised, t)
+        dec, code_loss = model.apply(variables, clean, noised, t)
+        assert dec.shape == clean.shape
+        assert np.isfinite(np.asarray(dec)).all()
+        tokens = model.apply(variables, clean, method="tokenize")
+        img = divae_decode_tokens(model, variables, tokens, jax.random.key(0), timesteps=2)
+        assert img.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_cond_mask_zeroes_condition(self):
+        from fourm_tpu.vq.unet import PatchedUNetCondCat
+
+        m = PatchedUNetCondCat(in_channels=3, out_channels=3, cond_dim=4,
+                               patch_size=4, model_channels=32, num_res_blocks=1,
+                               attention_resolutions=(2,), channel_mult=(1, 2))
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 3).astype(np.float32))
+        cond = jnp.ones((1, 4, 4, 4))
+        p = m.init(jax.random.key(0), x, jnp.asarray([1]), cond)
+        a = m.apply(p, x, jnp.asarray([1]), cond, unconditional=True)
+        b = m.apply(p, x, jnp.asarray([1]), jnp.zeros_like(cond))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
