@@ -65,7 +65,24 @@ def main():
         jnp.asarray, synthetic_mod_batch(MOD21_MODALITIES, 1, 64, 64, seed=0)
     )
     params = model.init(jax.random.key(0), init_batch, 64, 64)
-    sampler = FourMSampler(fm=(model, params))
+
+    # minimal text tokenizer (sentinel ids for AR span merging); trained release
+    # tokenizers plug in identically
+    import tempfile
+
+    from fourm_tpu.utils.text_tokenizer import (
+        generate_sentinel_tokens,
+        train_unified_wordpiece_tokenizer,
+    )
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("a photo of a cat and a dog\n" * 200)
+        corpus = f.name
+    tok = train_unified_wordpiece_tokenizer(
+        corpus, vocab_size=300, sentinel_tokens=generate_sentinel_tokens(num=20),
+        show_progress=False,
+    )
+    sampler = FourMSampler(fm=(model, params), text_tokenizer=tok)
 
     rng = np.random.RandomState(0)
     sample = {"rgb@224": rng.rand(B, 224, 224, 3).astype(np.float32)}

@@ -134,7 +134,17 @@ class MultiModalDatasetFolder:
 
 def _tar_samples(path_or_file) -> Iterator[Dict[str, Any]]:
     """Group tar members by sample key: '000123.ext' or '000123.modality.ext'
-    (webdataset convention)."""
+    (webdataset convention). Uses the native C++ indexed reader for plain
+    uncompressed tar paths (fourm_tpu/native), falling back to Python tarfile."""
+    if isinstance(path_or_file, str) and path_or_file.endswith(".tar"):
+        try:
+            from ..native import native_available, native_tar_samples
+
+            if native_available():
+                yield from native_tar_samples(path_or_file)
+                return
+        except Exception:
+            pass
     tf = tarfile.open(path_or_file, mode="r|*") if isinstance(path_or_file, str) else \
         tarfile.open(fileobj=path_or_file, mode="r|*")
     current_key = None

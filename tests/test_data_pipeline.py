@@ -280,3 +280,47 @@ class TestMixture:
         assert set(sample) == {"tok_rgb@224", "caption"}
         assert sample["caption"]["input_mask"].all()  # padded modality fully masked
         assert sample["caption"]["tensor"].shape == (514,)
+
+
+class TestNativeTarReader:
+    def test_native_matches_python(self, tmp_path):
+        from fourm_tpu.native import NativeTarFile, native_available, native_tar_samples
+
+        if not native_available():
+            pytest.skip("no g++ / native build unavailable")
+        make_tar_shards(str(tmp_path), n_shards=1, samples_per_shard=3)
+        path = f"{tmp_path}/shards_rgb/00000.tar"
+
+        native = list(native_tar_samples(path))
+        import tarfile as _tf
+
+        with _tf.open(path) as tf:
+            members = [(m.name, tf.extractfile(m).read()) for m in tf if m.isfile()]
+        assert len(native) == 3
+        flat_native = {}
+        for s in native:
+            for k, v in s.items():
+                if k != "__key__":
+                    flat_native[f"{s['__key__']}.{k}"] = v
+        for name, data in members:
+            assert flat_native[name] == data, name
+
+    def test_native_speed_sanity(self, tmp_path):
+        """Native reader should index + read a shard without error at scale."""
+        from fourm_tpu.native import NativeTarFile, native_available
+
+        if not native_available():
+            pytest.skip("no native build")
+        import tarfile as _tf
+        import io as _io
+
+        path = str(tmp_path / "big.tar")
+        with _tf.open(path, "w") as tf:
+            payload = os.urandom(1000)
+            for i in range(500):
+                info = _tf.TarInfo(f"{i:06d}.bin")
+                info.size = len(payload)
+                tf.addfile(info, _io.BytesIO(payload))
+        with NativeTarFile(path) as nt:
+            assert len(nt.names) == 500
+            assert nt.read(499) == payload
