@@ -71,6 +71,11 @@ def get_parser():
     p.add_argument("--run_name", default="auto")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_freq", type=int, default=1, help="eval every N epochs")
+    p.add_argument("--fixed_eval", action="store_true", default=True,
+                   help="eval with pinned 128/128 token budgets (reference :166-174)")
+    p.add_argument("--fixed_eval_input_tokens", type=int, default=128)
+    p.add_argument("--fixed_eval_target_tokens", type=int, default=128)
+    p.add_argument("--eval_size", type=int, default=256, help="samples per eval")
     p.add_argument("--save_ckpt_freq", type=int, default=1)
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--log_wandb", action="store_true")
@@ -91,6 +96,34 @@ def make_synthetic_loader(domains, batch_size, num_input_tokens, num_target_toke
             i += 1
 
     return gen()
+
+
+def evaluate(model, params, val_loader, num_input_tokens, num_target_tokens,
+             loss_type, max_samples, global_bs):
+    """Held-out eval with (optionally pinned) token budgets so val loss is
+    comparable across runs (reference run_training_4m.py:798-832)."""
+    import jax
+    import jax.numpy as jnp
+
+    eval_fn = jax.jit(
+        lambda p, b: model.apply(p, b, num_input_tokens, num_target_tokens,
+                                 loss_type=loss_type),
+        static_argnums=(),
+    )
+    losses, mod_losses = [], {}
+    seen = 0
+    for batch in val_loader:
+        batch = jax.tree.map(jnp.asarray, batch)
+        loss, (mod_loss, _cnt) = eval_fn(params, batch)
+        losses.append(float(loss))
+        for m, v in mod_loss.items():
+            mod_losses.setdefault(m, []).append(float(v))
+        seen += global_bs
+        if seen >= max_samples:
+            break
+    out = {"loss": float(np.mean(losses))}
+    out.update({f"loss_{m}": float(np.mean(v)) for m, v in mod_losses.items()})
+    return out
 
 
 def main(args=None):
@@ -233,6 +266,17 @@ def main(args=None):
         if (step + 1) % (steps_per_epoch * args.save_ckpt_freq) == 0 or step == total_steps - 1:
             save_checkpoint(os.path.join(output_dir, "checkpoints"), state, step + 1)
             print(f"[ckpt] saved step {step + 1}")
+
+        if val_loader is not None and (step + 1) % (steps_per_epoch * args.eval_freq) == 0:
+            stats = evaluate(
+                model, state.params, val_loader,
+                args.fixed_eval_input_tokens if args.fixed_eval else args.num_input_tokens,
+                args.fixed_eval_target_tokens if args.fixed_eval else args.num_target_tokens,
+                args.loss_type, max_samples=args.eval_size, global_bs=global_bs,
+            )
+            print(f"[eval] step {step + 1}: {stats}", flush=True)
+            jsonl.write({"step": step + 1, **{f"eval_{k}": v for k, v in stats.items()}})
+            wandb_logger.log({f"eval_{k}": v for k, v in stats.items()}, step=step + 1)
 
     wandb_logger.finish()
     print("training done")
