@@ -96,7 +96,7 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
         crops = []
         for top, left, h, w, flip in settings:
             aug = t.image_augment(img, (top, left, h, w), bool(flip), (H, W),
-                                  (input_size, input_size))
+                                  (input_size, input_size), rand_aug_idx=None)
             crops.append(t.postprocess(aug))
         x = jnp.asarray(np.stack(crops))
         tokens = np.asarray(tokenize(variables, x)).astype(np.int16)

@@ -832,6 +832,143 @@ class SAMInstanceTokTransform(AbstractTransform):
         return self.convert_target_tokens_to_string(self.get_target_tokens(sample, qp))
 
 
+class SAMInstanceTransform(AbstractTransform):
+    """Raw SAM instance polygons -> fixed-size binary masks + bboxes, for SAM
+    instance tokenizer training (reference :384-567). Crops clip polygons against
+    the crop rectangle (adding border crossing points), resizes, drops tiny
+    instances, and rasterizes each polygon to a mask_size x mask_size mask."""
+
+    def __init__(self, mask_size: int = 64, max_instance_n: Optional[int] = 20,
+                 bbox_area_threshold: float = 0.0005):
+        self.mask_size = mask_size
+        self.max_instance_n = max_instance_n
+        self.bbox_area_threshold = bbox_area_threshold
+
+    @staticmethod
+    def get_bbox(instance):
+        min_h, max_h = instance[:, :, 1].min(), instance[:, :, 1].max()
+        min_w, max_w = instance[:, :, 0].min(), instance[:, :, 0].max()
+        return [min_h, min_w, max_h, max_w]
+
+    def _border_crossings(self, crop_points):
+        p = crop_points[:, 0]
+        p_next = np.roll(p, -1, axis=0)
+
+        def fn(x, xn):
+            out = []
+            c_diff = p_next - p
+            x_diff = x - xn
+            for diff, c in zip(c_diff, p):
+                A = np.array([[diff[0], x_diff[0]], [diff[1], x_diff[1]]], dtype=np.float64)
+                b = (x - c).astype(np.float64)
+                try:
+                    lm = np.linalg.solve(A, b)
+                except np.linalg.LinAlgError:
+                    continue
+                if 0 <= lm[0] <= 1 and 0 <= lm[1] <= 1:
+                    out.append(lm[1] * xn + (1 - lm[1]) * x)
+            return out
+
+        return fn
+
+    def crop_sample(self, sample, crop_coords):
+        import cv2
+
+        top, left, h, w = crop_coords
+        region = (left, top, left + w, top + h)
+        crop_points = np.array([
+            [region[0], region[1]], [region[2], region[1]],
+            [region[2], region[3]], [region[0], region[3]],
+        ])[:, None]
+        border_fn = self._border_crossings(crop_points)
+        out = []
+        for instance in sample:
+            # extend with border-crossing points
+            p = instance[:, 0]
+            p_next = np.roll(p, -1, axis=0)
+            pts = []
+            for x, xn in zip(p, p_next):
+                pts.append(x)
+                for r in border_fn(x, xn):
+                    pts.append(r.astype(np.int32))
+            inst = np.stack(pts)[:, None]
+            inside = (
+                (inst[:, :, 0] > region[0]) & (inst[:, :, 0] < region[2])
+                & (inst[:, :, 1] > region[1]) & (inst[:, :, 1] < region[3])
+            )
+            if not np.any(inside):
+                continue
+            clipped = inst.copy()
+            clipped[:, :, 0] = np.clip(inst[:, :, 0], region[0], region[2])
+            clipped[:, :, 1] = np.clip(inst[:, :, 1], region[1], region[3])
+            # drop points that left the original polygon (redundant lines)
+            kept = [q[0] for q in clipped
+                    if cv2.pointPolygonTest(inst, (float(q[0, 0]), float(q[0, 1])), True) >= 0]
+            if len(kept) < 3:
+                continue
+            clipped = np.stack(kept)[:, None]
+            clipped[:, :, 0] -= region[0]
+            clipped[:, :, 1] -= region[1]
+            out.append(clipped)
+        return out
+
+    def image_augment(self, v, crop_coords, flip, orig_size, target_size,
+                      rand_aug_idx=None, resample_mode=None):
+        v = self.crop_sample(v, crop_coords)
+        _, _, h, w = crop_coords
+        th, tw = target_size
+        scaled = []
+        for inst in v:
+            c = inst.copy()
+            c[:, :, 0] = np.round(tw / w * c[:, :, 0])
+            c[:, :, 1] = np.round(th / h * c[:, :, 1])
+            scaled.append(c)
+        # drop tiny instances
+        kept = []
+        for inst in scaled:
+            min_h, min_w, max_h, max_w = self.get_bbox(inst)
+            if (max_h - min_h) * (max_w - min_w) / (th * tw) >= self.bbox_area_threshold:
+                kept.append(inst)
+        if flip:
+            flipped = []
+            for inst in kept:
+                c = inst.copy()
+                c[:, :, 0] = tw - c[:, :, 0]
+                flipped.append(c)
+            kept = flipped
+        return kept
+
+    def load(self, path):
+        return np.load(path, allow_pickle=True)
+
+    def preprocess(self, sample):
+        if self.max_instance_n is None or len(sample) <= self.max_instance_n:
+            idx = np.arange(len(sample))
+        else:
+            idx = np.random.choice(len(sample), size=self.max_instance_n, replace=False)
+        return [p["points"] for i, p in enumerate(sample) if i in idx]
+
+    def postprocess(self, sample):
+        import cv2
+
+        n = self.max_instance_n if self.max_instance_n is not None else len(sample)
+        masks = np.zeros((n, self.mask_size, self.mask_size), np.float32)
+        bboxes = np.zeros((n, 4), np.float32)
+        valid = np.full(n, False)
+        for i, inst in enumerate(sample[:n]):
+            bbox = self.get_bbox(inst)
+            min_h, min_w, max_h, max_w = bbox
+            c = inst.copy().astype(np.float64)
+            c[:, :, 0] = (c[:, :, 0] - min_w) / max(max_w - min_w, 1e-6) * self.mask_size
+            c[:, :, 1] = (c[:, :, 1] - min_h) / max(max_h - min_h, 1e-6) * self.mask_size
+            mask = np.zeros((self.mask_size, self.mask_size), np.uint8)
+            cv2.drawContours(mask, [c.astype(np.int32)], 0, 255, thickness=cv2.FILLED)
+            masks[i] = mask / 255.0
+            bboxes[i] = np.asarray(bbox, np.float32)
+            valid[i] = True
+        return {"instance": masks, "bbox": bboxes, "valid": valid}
+
+
 # ---------------------------------------------------------------- registries
 # (reference modality_info.py:386-427)
 
@@ -870,4 +1007,5 @@ def divae_modality_transforms() -> Dict[str, AbstractTransform]:
         "semseg_coco": SemsegTransform(shift_idx_by_one=True),
         "canny_edge": RGBTransform(imagenet_default_mean_and_std=False),
         "human_poses": HumanPoseTransform(coord_bins=1000, only_pose=True),
+        "sam_mask": SAMInstanceTransform(mask_size=64, max_instance_n=1),
     }
