@@ -410,3 +410,57 @@ def build_huggingface_text_dataset(
                 yield masking({"caption": text})
 
     return gen()
+
+
+def prefetch_iterator(iterable: Iterable, prefetch: int = 2):
+    """Run an iterator in a background thread with a bounded queue — overlaps
+    host-side data work (decode, masking) with device steps."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+class ParallelMapDataset:
+    """Multi-process map over a map-style dataset (transform runs in workers) —
+    the Grain/torch-DataLoader analogue for the Dirichlet/span-masking host work
+    (SURVEY.md §7: the input pipeline must feed a v5e-8)."""
+
+    def __init__(self, dataset, num_workers: int = 4):
+        self.dataset = dataset
+        self.num_workers = num_workers
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def iter_shuffled(self, seed: int = 0):
+        import multiprocessing as mp
+
+        if self.num_workers <= 0:
+            yield from repeat_dataset(self.dataset)
+            return
+        ctx = mp.get_context("fork")
+        with ctx.Pool(self.num_workers) as pool:
+            epoch = 0
+            while True:
+                order = np.random.default_rng(seed + epoch).permutation(len(self.dataset))
+                for sample in pool.imap(self.dataset.__getitem__, order.tolist(),
+                                        chunksize=4):
+                    yield sample
+                epoch += 1

@@ -378,9 +378,35 @@ class TokTransform(AbstractTransform):
         return sample
 
 
+def _bbox_area(b):
+    return (b[2] - b[0]) * (b[3] - b[1])
+
+
+def _bbox_score(b):
+    return b[5]
+
+
+def _bbox_rand(_b):
+    return random.random()
+
+
+def _bbox_dist_to_orig(b):
+    return b[0] ** 2 + b[1] ** 2
+
+
 class DetectionTransform(AbstractTransform):
     """Instances -> coordinate-token string 'v0=.. v1=.. v2=.. v3=.. class'
-    (reference :625-753)."""
+    (reference :625-753). Picklable (no lambdas) so datasets can run in
+    multiprocessing workers."""
+
+    def _order(self, bboxes):
+        if self.bbox_order_name == "area":
+            return sorted(bboxes, key=_bbox_area, reverse=True)
+        if self.bbox_order_name == "score":
+            return sorted(bboxes, key=_bbox_score, reverse=True)
+        if self.bbox_order_name == "random":
+            return sorted(bboxes, key=_bbox_rand)
+        return sorted(bboxes, key=_bbox_dist_to_orig)
 
     def __init__(self, det_threshold: float = 0.6, det_max_instances: Optional[int] = None,
                  bbox_order: str = "dist_to_orig", coord_bins: int = 1000,
@@ -390,12 +416,9 @@ class DetectionTransform(AbstractTransform):
         self.coord_bins = coord_bins
         self.min_visibility = min_visibility
         self.return_raw = return_raw
-        self.bbox_order = {
-            "area": lambda b: sorted(b, key=lambda x: (x[2] - x[0]) * (x[3] - x[1]), reverse=True),
-            "score": lambda b: sorted(b, key=lambda x: x[5], reverse=True),
-            "random": lambda b: sorted(b, key=lambda x: random.random()),
-            "dist_to_orig": lambda b: sorted(b, key=lambda x: x[0] ** 2 + x[1] ** 2),
-        }[bbox_order]
+        if bbox_order not in ("area", "score", "random", "dist_to_orig"):
+            raise ValueError(f"unknown bbox order {bbox_order}")
+        self.bbox_order_name = bbox_order
 
     def load(self, path):
         with open(path) as f:
@@ -420,8 +443,8 @@ class DetectionTransform(AbstractTransform):
         if flip:
             bboxes = [bbox_ops.hflip(b) + tuple(b[4:]) for b in bboxes]
         if self.det_max_instances is not None and len(bboxes) > self.det_max_instances:
-            bboxes = sorted(bboxes, key=lambda x: x[5], reverse=True)[: self.det_max_instances]
-        return self.bbox_order(bboxes)
+            bboxes = sorted(bboxes, key=_bbox_score, reverse=True)[: self.det_max_instances]
+        return self._order(bboxes)
 
     def postprocess(self, bboxes):
         if self.return_raw:

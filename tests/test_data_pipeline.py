@@ -324,3 +324,24 @@ class TestNativeTarReader:
         with NativeTarFile(path) as nt:
             assert len(nt.names) == 500
             assert nt.read(499) == payload
+
+
+class TestParallelLoading:
+    def test_prefetch_iterator(self):
+        from fourm_tpu.data.datasets import prefetch_iterator
+
+        out = list(prefetch_iterator(iter(range(20)), prefetch=4))
+        assert out == list(range(20))
+
+    def test_parallel_map_dataset(self, tmp_path):
+        from fourm_tpu.data.datasets import ParallelMapDataset
+
+        make_folder_dataset(str(tmp_path))
+        transforms = default_modality_transforms()
+        ds = MultiModalDatasetFolder(
+            str(tmp_path), ["caption"], transforms,
+        )
+        pds = ParallelMapDataset(ds, num_workers=2)
+        it = pds.iter_shuffled(seed=0)
+        samples = [next(it) for _ in range(8)]  # 2 epochs of 4
+        assert all(isinstance(s["caption"], str) for s in samples)
