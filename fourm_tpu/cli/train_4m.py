@@ -192,7 +192,12 @@ def main(args=None):
                 args.min_input_tokens, args.min_target_tokens, seed=args.seed,
             ))
             weights.append(dcfg.get("weight", 1.0))
-        loader = build_mixture_loader(datasets, weights, all_domains, global_bs, seed=args.seed)
+        from ..data.datasets import prefetch_iterator
+
+        loader = prefetch_iterator(
+            build_mixture_loader(datasets, weights, all_domains, global_bs, seed=args.seed),
+            prefetch=4,
+        )
         val_loader = None
 
     # init

@@ -1,4 +1,6 @@
 from .mesh import (
+    model_shardings,
+    tensor_sharding_for,
     batch_sharding,
     fsdp_sharding_for,
     make_mesh,

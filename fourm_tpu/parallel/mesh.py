@@ -75,3 +75,54 @@ def params_shardings(mesh: Mesh, params) -> object:
         if hasattr(p, "shape") else replicated(mesh),
         params,
     )
+
+
+# megatron-style tensor-parallel rules: (param-path regex, axis to shard over
+# 'tensor'). Column-parallel (shard output features) for qkv/q/kv/fc1/fc3,
+# row-parallel (shard input features) for the following proj/fc2 — XLA inserts
+# the all-reduce after the row-parallel matmul.
+import re as _re
+
+TENSOR_RULES = [
+    (_re.compile(r".*/(qkv|q|kv)/kernel$"), 1),
+    (_re.compile(r".*/fc1/kernel$"), 1),
+    (_re.compile(r".*/fc3/kernel$"), 1),
+    (_re.compile(r".*/(qkv|q|kv|fc1|fc3)/bias$"), 0),
+    (_re.compile(r".*/proj/kernel$"), 0),
+    (_re.compile(r".*/fc2/kernel$"), 0),
+    (_re.compile(r".*token_emb/embedding$"), 1),  # vocab-parallel embedding dim
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def tensor_sharding_for(mesh: Mesh, path_str: str, x) -> NamedSharding:
+    """Tensor-parallel sharding for one param; falls back to the fsdp rule."""
+    tensor_size = mesh.shape.get("tensor", 1)
+    if tensor_size > 1:
+        for pat, axis in TENSOR_RULES:
+            if pat.match(path_str) and x.ndim > axis and x.shape[axis] % tensor_size == 0:
+                spec = [None] * x.ndim
+                spec[axis] = "tensor"
+                # combine with fsdp on another divisible axis if possible
+                fsdp_size = mesh.shape.get("fsdp", 1)
+                if fsdp_size > 1:
+                    for other in sorted(range(x.ndim), key=lambda i: -x.shape[i]):
+                        if other != axis and x.shape[other] % fsdp_size == 0                                 and x.shape[other] >= 2 * fsdp_size:
+                            spec[other] = "fsdp"
+                            break
+                return NamedSharding(mesh, P(*spec))
+    return fsdp_sharding_for(mesh, x)
+
+
+def model_shardings(mesh: Mesh, tree) -> object:
+    """Full-model sharding rules: tensor-parallel where annotated, ZeRO fsdp
+    elsewhere. Apply to params or whole TrainState shape trees."""
+    def rule(path, x):
+        if not hasattr(x, "shape"):
+            return replicated(mesh)
+        return tensor_sharding_for(mesh, _path_str(path), x)
+
+    return jax.tree_util.tree_map_with_path(rule, tree)

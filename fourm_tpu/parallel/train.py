@@ -53,10 +53,10 @@ def init_train_state(
     if mesh is None:
         return _init(rng), None
 
-    from .mesh import fsdp_sharding_for
+    from .mesh import model_shardings
 
     shapes = jax.eval_shape(_init, rng)
-    shardings = jax.tree.map(lambda s: fsdp_sharding_for(mesh, s), shapes)
+    shardings = model_shardings(mesh, shapes)
     state = jax.jit(_init, out_shardings=shardings)(rng)
     return state, shardings
 

@@ -134,3 +134,29 @@ def test_grad_accumulation(mesh, tiny_setup):
     new_state, metrics = step(state, accum_batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_tensor_parallel_train_step(tiny_setup):
+    """(data=2, fsdp=2, tensor=2) mesh: megatron-style qkv/mlp sharding + ZeRO."""
+    from fourm_tpu.parallel import model_shardings
+    from jax.sharding import PartitionSpec
+
+    mesh3 = make_mesh(data=2, fsdp=2, tensor=2)
+    model = tiny_setup
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(8, rng)
+    example = jax.tree.map(lambda x: x[:1], batch)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(r, example, 32, 32), jax.random.key(0)
+    )
+    shardings = model_shardings(mesh3, params_shape)
+    # qkv kernels must be tensor-sharded on the output axis
+    qkv = shardings["params"]["encoder_0"]["attn"]["qkv"]["kernel"]
+    assert "tensor" in str(qkv.spec)
+
+    sched = cosine_schedule(1e-3, 100, 0)
+    tx = create_optimizer(params_shape, sched)
+    state, st_shard = init_train_state(model, tx, example, 32, 32, jax.random.key(0), mesh=mesh3)
+    step = build_train_step(model, tx, 32, 32, mesh=mesh3, state_shardings=st_shard, donate=False)
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
