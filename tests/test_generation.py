@@ -250,3 +250,77 @@ class TestChainedGeneration:
         )
         out = sampler.generate(mod_dict, schedule, seed=0)
         assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()
+
+
+class TestMultiGuidedGeneration:
+    def test_multi_guided_img(self, tiny_gen):
+        """Weighted multi-condition guidance (reference generate.py:1168-1227)."""
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+
+        def make_dict(seed):
+            md = make_caption_cond()
+            init_empty_target_modality(md, "tok_rgb@224", 1, 196)
+            return {m: {k: jnp.asarray(v) for k, v in d.items()} for m, d in md.items()}
+
+        uncond = make_dict(0)
+        cond_a, cond_b = make_dict(1), make_dict(2)
+        schedule = [{
+            "target_domain": "tok_rgb@224", "scheme": "maskgit", "num_tokens": 98,
+            "temperature": 0.5, "cfg_scale": [1.5, 0.5], "cfg_cond_domains": [],
+        }, {
+            "target_domain": "tok_rgb@224", "scheme": "maskgit", "num_tokens": 98,
+            "temperature": 0.5, "cfg_scale": [1.5, 0.5], "cfg_cond_domains": [],
+        }]
+        out = sampler.generate_multi_guided(uncond, [cond_a, cond_b], schedule, seed=0)
+        assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()
+
+
+class TestGenerateIter:
+    def test_yields_per_step(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        schedule = build_chained_generation_schedules(
+            ["caption"], ["tok_rgb@224"], [196], ["maskgit"], [4], ["cosine"],
+            [0.0], ["constant"], [1.0], ["constant"],
+        )
+        decoded_counts = []
+        for step_out in sampler.generate_iter(mod_dict, schedule, seed=0):
+            decoded_counts.append(int(np.asarray(step_out["tok_rgb@224"]["target_mask"]).sum()))
+        assert len(decoded_counts) == 4
+        assert decoded_counts == sorted(decoded_counts)  # monotonically decodes
+        assert decoded_counts[-1] == 196
+
+
+class TestSamDense:
+    def test_merges_batch_replicas(self, tiny_gen, tmp_path):
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens,
+            train_unified_wordpiece_tokenizer,
+        )
+
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("point polygon none\n" * 50)
+        tok = train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=300,
+            sentinel_tokens=generate_sentinel_tokens(num=10), show_progress=False,
+        )
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params, text_tokenizer=tok)
+        mod_dict = {
+            "tok_rgb@224": {"tensor": np.random.randint(0, 16384, (1, 196)).astype(np.int32)},
+        }
+        init_full_input_modality(mod_dict, "tok_rgb@224")
+        # sam_instance is not in the tiny model; use caption as the dense key to
+        # exercise the merge machinery
+        mod_dict = custom_text(mod_dict, "", "[EOS]", "caption", tok, target_max_len=6)
+        schedule = build_chained_generation_schedules(
+            ["tok_rgb@224"], ["caption"], [None], ["autoregressive"], [None], [None],
+            [0.5], ["constant"], [1.0], ["constant"],
+        )
+        out = sampler.generate_sam_dense(mod_dict, schedule, batch_size=3, key="caption", seed=0)
+        merged = np.asarray(out["caption"]["tensor"])
+        assert merged.shape[0] == 1  # merged back into one sequence
+        assert not np.asarray(out["caption"]["input_mask"]).any()
