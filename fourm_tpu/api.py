@@ -274,7 +274,8 @@ class FourMSampler:
         the 224 tokens condition the SR model to produce @448 tokens."""
         sr_conds = [m for m in mod_dict if m.endswith("@224")]
         sr_targets = [m for m in DEFAULT_ORDER_SR if m.replace("@448", "@224") in mod_dict]
-        sr_dict = {m: mod_dict[m] for m in sr_conds}
+        # init helpers mutate numpy arrays in place
+        sr_dict = {m: {k: np.array(v) for k, v in mod_dict[m].items()} for m in sr_conds}
         B = next(iter(sr_dict.values()))["tensor"].shape[0]
         for mod in sr_targets:
             init_empty_target_modality(sr_dict, mod, B, MODALITY_INFO[mod].resolved_max_tokens())
