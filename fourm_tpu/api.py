@@ -229,7 +229,7 @@ class FourMSampler:
                 init_full_input_modality(mod_dict, mod)
                 continue
             else:
-                arr = np.asarray(value)
+                arr = np.array(value)  # copy: init helpers mutate in place
                 if arr.ndim == 3:  # unbatched image / tokens
                     arr = arr[None]
                 elif arr.ndim == 1:
