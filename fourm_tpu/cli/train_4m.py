@@ -57,7 +57,12 @@ def get_parser():
     p.add_argument("--skip_grad", type=float, default=None)
     p.add_argument("--opt_betas", type=float, nargs=2, default=(0.9, 0.95))
     p.add_argument("--frozen_model_epochs", type=int, default=0,
-                   help="initial steps where only embeddings train (reference :522-529)")
+                   help="initial epochs where only embeddings train (reference :522-529)")
+    p.add_argument("--layer_decay", type=float, default=None,
+                   help="per-layer LR decay factor (reference optim_factory.py:62-150)")
+    p.add_argument("--finetune", default=None,
+                   help="warm-start weights (.safetensors or orbax step dir), "
+                        "loaded minus pos-embs (reference :475-487)")
     # data
     p.add_argument("--data_config", default=None, help="YAML with train datasets + weights")
     p.add_argument("--synthetic_data", action="store_true")
@@ -96,6 +101,51 @@ def make_synthetic_loader(domains, batch_size, num_input_tokens, num_target_toke
             i += 1
 
     return gen()
+
+
+def merge_loaded_params(init_vars, loaded_vars):
+    """Overlay loaded leaves onto the initialized tree, keeping initialized
+    values where the load has no entry (e.g. dropped pos-embs)."""
+    if not isinstance(init_vars, dict):
+        return loaded_vars if loaded_vars is not None else init_vars
+    out = {}
+    for k, v in init_vars.items():
+        lv = loaded_vars.get(k) if isinstance(loaded_vars, dict) else None
+        out[k] = merge_loaded_params(v, lv) if lv is not None else v
+    return out
+
+
+def load_finetune_weights(path: str, config, init_variables):
+    """--finetune warm start: load released/exported weights MINUS positional
+    embeddings (reference run_training_4m.py:475-487 drops '.pos_emb' keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.checkpoint import (
+        import_fourm_state_dict,
+        latest_checkpoint_steps,
+        load_checkpoint,
+        load_safetensors,
+    )
+
+    if path.endswith(".safetensors"):
+        tensors, _meta = load_safetensors(path)
+        tensors = {k: v for k, v in tensors.items() if ".pos_emb" not in k}
+        loaded = import_fourm_state_dict(tensors, config)
+    else:
+        steps = latest_checkpoint_steps(path)
+        if not steps:
+            raise FileNotFoundError(f"no orbax checkpoints under {path}")
+        restored = load_checkpoint(path, steps[-1], init_variables)
+        loaded = jax.tree.map(jnp.asarray, restored)
+
+        def drop_pos_emb(tree):
+            if not isinstance(tree, dict):
+                return tree
+            return {k: drop_pos_emb(v) for k, v in tree.items() if k != "pos_emb"}
+
+        loaded = drop_pos_emb(loaded)
+    return merge_loaded_params(init_variables, loaded)
 
 
 def evaluate(model, params, val_loader, num_input_tokens, num_target_tokens,
@@ -175,12 +225,24 @@ def main(args=None):
     model = FourM(config)
 
     # data
+    eval_in = args.fixed_eval_input_tokens if args.fixed_eval else args.num_input_tokens
+    eval_tgt = args.fixed_eval_target_tokens if args.fixed_eval else args.num_target_tokens
     if args.synthetic_data or args.data_config is None:
         print("[data] synthetic batches")
         loader = make_synthetic_loader(
             all_domains, global_bs, args.num_input_tokens, args.num_target_tokens, args.seed
         )
-        val_loader = None
+
+        def val_loader_fn():
+            from ..utils.synthetic import synthetic_mod_batch
+
+            n_batches = max(args.eval_size // global_bs, 1)
+            # held-out seeds, deterministic across evals (fixed_eval semantics)
+            return iter([
+                synthetic_mod_batch(all_domains, global_bs, eval_in, eval_tgt,
+                                    seed=10_000_000 + i)
+                for i in range(n_batches)
+            ])
     else:
         data_cfg = load_yaml(args.data_config)
         text_tokenizer = load_tokenizer(args.text_tokenizer_path) if args.text_tokenizer_path else None
@@ -192,13 +254,35 @@ def main(args=None):
                 args.min_input_tokens, args.min_target_tokens, seed=args.seed,
             ))
             weights.append(dcfg.get("weight", 1.0))
-        from ..data.datasets import prefetch_iterator
+        from ..data.datasets import batched_loader, prefetch_iterator
+        from ..data.pretrain_utils import get_val_dataset
 
         loader = prefetch_iterator(
             build_mixture_loader(datasets, weights, all_domains, global_bs, seed=args.seed),
             prefetch=4,
         )
-        val_loader = None
+        val_cfgs = (data_cfg.get("val") or {}).get("datasets", {})
+        if val_cfgs:
+            val_datasets = {
+                name: get_val_dataset(
+                    dcfg, text_tokenizer, 224, args.num_input_tokens,
+                    args.num_target_tokens, args.min_input_tokens,
+                    args.min_target_tokens, fixed_eval=args.fixed_eval,
+                    fixed_eval_input_tokens=args.fixed_eval_input_tokens,
+                    fixed_eval_target_tokens=args.fixed_eval_target_tokens,
+                    seed=args.seed,
+                )
+                for name, dcfg in val_cfgs.items()
+            }
+
+            def val_loader_fn():
+                import itertools
+
+                return itertools.chain.from_iterable(
+                    batched_loader(iter(ds), global_bs) for ds in val_datasets.values()
+                )
+        else:
+            val_loader_fn = None
 
     # init
     example = jax.tree.map(lambda x: jnp.asarray(x[:1]), next(iter([next(loader)])))
@@ -211,11 +295,18 @@ def main(args=None):
     tx = create_optimizer(
         params_shape, sched, weight_decay=args.weight_decay, betas=tuple(args.opt_betas),
         clip_grad=args.clip_grad, skip_grad=args.skip_grad,
+        layer_decay=args.layer_decay,
+        encoder_depth=config.encoder_depth, decoder_depth=config.decoder_depth,
     )
     state, shardings = init_train_state(
         model, tx, example, args.num_input_tokens, args.num_target_tokens,
         jax.random.key(args.seed), mesh=mesh,
     )
+    if args.finetune:
+        state = state.replace(
+            params=load_finetune_weights(args.finetune, config, state.params)
+        )
+        print(f"[ckpt] warm-started from {args.finetune} (pos-embs re-initialized)")
     start_step = 0
     if args.auto_resume:
         try:
@@ -230,6 +321,20 @@ def main(args=None):
         model, tx, args.num_input_tokens, args.num_target_tokens, loss_type=args.loss_type,
         grad_accum_steps=args.grad_accum_steps, mesh=mesh, state_shardings=shardings,
     )
+    # frozen-trunk warm-start phase (reference :522-529, fm.py:762): a second
+    # step function whose grads/updates are masked to embeddings only
+    frozen_steps = args.frozen_model_epochs * steps_per_epoch
+    frozen_step_fn = None
+    if frozen_steps > 0:
+        from ..parallel import frozen_trunk_mask
+
+        frozen_step_fn = build_train_step(
+            model, tx, args.num_input_tokens, args.num_target_tokens,
+            loss_type=args.loss_type, grad_accum_steps=args.grad_accum_steps,
+            mesh=mesh, state_shardings=shardings,
+            trainable_mask=frozen_trunk_mask(state.params),
+        )
+        print(f"[train] frozen-trunk phase for the first {frozen_steps} steps")
 
     metric_logger = MetricLogger()
     jsonl = JSONLLogger(output_dir)
@@ -245,7 +350,8 @@ def main(args=None):
                 lambda x: x.reshape((args.grad_accum_steps, -1) + x.shape[1:]), batch
             )
         rng, rng_step = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, rng_step)
+        fn = frozen_step_fn if (frozen_step_fn is not None and step < frozen_steps) else step_fn
+        state, metrics = fn(state, batch, rng_step)
 
         if step % args.print_freq == 0 or step == total_steps - 1:
             loss = float(metrics["loss"])  # host fetch = fence
@@ -272,11 +378,11 @@ def main(args=None):
             save_checkpoint(os.path.join(output_dir, "checkpoints"), state, step + 1)
             print(f"[ckpt] saved step {step + 1}")
 
-        if val_loader is not None and (step + 1) % (steps_per_epoch * args.eval_freq) == 0:
+        if val_loader_fn is not None and (
+            (step + 1) % (steps_per_epoch * args.eval_freq) == 0 or step == total_steps - 1
+        ):
             stats = evaluate(
-                model, state.params, val_loader,
-                args.fixed_eval_input_tokens if args.fixed_eval else args.num_input_tokens,
-                args.fixed_eval_target_tokens if args.fixed_eval else args.num_target_tokens,
+                model, state.params, val_loader_fn(), eval_in, eval_tgt,
                 args.loss_type, max_samples=args.eval_size, global_bs=global_bs,
             )
             print(f"[eval] step {step + 1}: {stats}", flush=True)

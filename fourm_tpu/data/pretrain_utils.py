@@ -156,6 +156,67 @@ def get_train_dataset(
     raise ValueError(f"unsupported dataset type {dtype}")
 
 
+def get_val_dataset(
+    dataset_config: Dict[str, Any],
+    text_tokenizer,
+    input_size: int,
+    num_input_tokens: int,
+    num_target_tokens: int,
+    min_input_tokens: Optional[int] = None,
+    min_target_tokens: Optional[int] = None,
+    fixed_eval: bool = True,
+    fixed_eval_input_tokens: int = 128,
+    fixed_eval_target_tokens: int = 128,
+    seed: Optional[int] = 0,
+):
+    """Build a FINITE validation dataset iterator (reference get_val_dataloader,
+    pretrain_utils.py:195-292): deterministic center-crop (or no-aug pretokenized)
+    augmentation; with fixed_eval, token budgets are pinned so val loss is
+    comparable across runs (reference run_training_4m.py:166-174).
+    """
+    from .augmenters import CenterCropImageAugmenter
+
+    all_domains, in_a, tgt_a, keep, weights = setup_sampling_mod_info(dataset_config)
+    transforms = default_modality_transforms()
+    if "caption" in transforms:
+        transforms["caption"] = CaptionTransform(
+            aligned_captions=dataset_config.get("aligned_captions", True)
+        )
+
+    is_pretokenized = any(MODALITY_INFO[m].pretokenized for m in all_domains)
+    if is_pretokenized:
+        augmenter = PreTokenizedImageAugmenter(
+            target_size=input_size, no_aug=True,
+            main_domain=dataset_config.get("main_augment_domain", "rgb"),
+        )
+    else:
+        augmenter = CenterCropImageAugmenter(
+            target_size=input_size,
+            main_domain=dataset_config.get("main_augment_domain", "rgb"),
+        )
+
+    if fixed_eval:
+        ni, nt = fixed_eval_input_tokens, fixed_eval_target_tokens
+        mi, mt = None, None
+    else:
+        ni, nt = num_input_tokens, num_target_tokens
+        mi, mt = min_input_tokens, min_target_tokens
+    masking = make_unified_masking(
+        all_domains, text_tokenizer, ni, nt,
+        input_alphas=in_a, target_alphas=tgt_a, keep_schemes=keep,
+        sampling_weights=weights, min_input_tokens=mi, min_target_tokens=mt,
+        seed=seed,
+    )
+
+    dtype = dataset_config.get("type", "multimodal")
+    if dtype != "multimodal":
+        raise ValueError(f"unsupported val dataset type {dtype}")
+    return build_fm_pretraining_dataset(
+        dataset_config["data_path"], all_domains, transforms, augmenter, masking,
+        modality_paths=dataset_config.get("modality_paths"),
+    )
+
+
 def build_mixture_loader(
     datasets: List, weights: List[float], all_domains: List[str], batch_size: int,
     epoch_size: Optional[int] = None, seed: Optional[int] = None,

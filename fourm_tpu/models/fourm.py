@@ -88,7 +88,13 @@ class FourMConfig:
 
 
 def _act(name: str):
-    return {"gelu": nn.gelu, "silu": nn.silu, "relu": nn.relu}[name]
+    # "gelu" is the exact erf form to match torch nn.GELU (reference fm_utils
+    # act_layer default); flax nn.gelu defaults to the tanh approximation.
+    return {
+        "gelu": lambda x: nn.gelu(x, approximate=False),
+        "silu": nn.silu,
+        "relu": nn.relu,
+    }[name]
 
 
 def _grid_for(spec: ModalitySpec) -> Tuple[int, int]:
@@ -494,8 +500,12 @@ class FourM(nn.Module):
             s = jnp.sum(jnp.where(valid, ce, 0.0))
             mod_loss[mod] = s / jnp.maximum(cnt, 1)
             mod_count[mod] = cnt
-            total_sum = total_sum + s
-            total_cnt = total_cnt + cnt
+            # reference token loss weights each modality by logits.numel() =
+            # n_valid_tokens * vocab_size (fm.py:628-637), NOT by token count —
+            # matched exactly here (verified in tests/test_reference_parity.py)
+            vocab = logits.shape[-1]
+            total_sum = total_sum + mod_loss[mod] * cnt * vocab
+            total_cnt = total_cnt + cnt * vocab
         if loss_type in ("mod", "modality"):
             loss = sum(mod_loss.values()) / max(len(mod_loss), 1)
         elif loss_type == "token":

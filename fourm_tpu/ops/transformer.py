@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+
+def gelu_exact(x):
+    """Exact (erf) GELU, matching torch nn.GELU (reference fm_utils act_layer)."""
+    return nn.gelu(x, approximate=False)
+
 Dtype = jnp.dtype
 
 # Large negative fill for masked logits; matches reference masked_fill(-finfo.max)
@@ -142,7 +147,7 @@ class Mlp(nn.Module):
 
     hidden_dim: int
     out_dim: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     use_bias: bool = True
     dtype: Dtype = jnp.float32
 
@@ -336,7 +341,7 @@ class Block(nn.Module):
     proj_bias: bool = True
     mlp_bias: bool = True
     drop_path_rate: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     gated_mlp: bool = False
     qk_norm: bool = False
     allow_zero_attn: bool = False
@@ -380,7 +385,7 @@ class DecoderBlock(nn.Module):
     proj_bias: bool = True
     mlp_bias: bool = True
     drop_path_rate: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     gated_mlp: bool = False
     qk_norm: bool = False
     allow_zero_attn: bool = False
@@ -446,7 +451,7 @@ class CrossAttentionBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
     drop_path_rate: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     gated_mlp: bool = False
     allow_zero_attn: bool = False
     norm_bias: bool = True

@@ -7,4 +7,4 @@ from .mesh import (
     params_shardings,
     replicated,
 )
-from .train import TrainState, build_train_step, init_train_state
+from .train import TrainState, build_train_step, frozen_trunk_mask, init_train_state

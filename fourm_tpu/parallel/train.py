@@ -61,6 +61,30 @@ def init_train_state(
     return state, shardings
 
 
+def frozen_trunk_mask(params) -> Any:
+    """Trainable mask for the frozen-trunk warm-start phase (reference
+    run_training_4m.py:522-529 + fm.py:762-776 freeze_shared_params): encoder/
+    decoder blocks and final norms are frozen; embeddings, modality embeddings,
+    mask token, and decoder context projection stay trainable.
+
+    Returns a pytree of float32 {0., 1.} matching `params`.
+    """
+    import re
+
+    def is_frozen(path) -> bool:
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top == "params" and len(path) > 1:
+            top = path[1].key if hasattr(path[1], "key") else str(path[1])
+        return bool(re.fullmatch(r"(encoder|decoder)_\d+", top)) or top in (
+            "encoder_norm", "decoder_norm",
+        )
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.zeros((), jnp.float32) if is_frozen(path) else jnp.ones((), jnp.float32),
+        params,
+    )
+
+
 def build_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -71,11 +95,17 @@ def build_train_step(
     mesh: Optional[Mesh] = None,
     state_shardings=None,
     donate: bool = True,
+    trainable_mask=None,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
     batch layout: {mod: {key: array}} with leading batch axis; when
     grad_accum_steps > 1, the leading axis is (accum, micro_batch, ...).
+
+    trainable_mask: optional pytree of {0., 1.} matching params. Frozen params
+    (0.) receive zero gradient AND zero update, so their values, Adam moments
+    and weight decay are all untouched — exactly torch's requires_grad=False
+    behavior in the reference's frozen warm-start phase.
     """
 
     def loss_fn(params, batch, rng):
@@ -105,7 +135,11 @@ def build_train_step(
             loss = loss / grad_accum_steps
             mod_loss, mod_count = {}, {}
 
+        if trainable_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, trainable_mask)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        if trainable_mask is not None:
+            updates = jax.tree.map(lambda u, m: u * m, updates, trainable_mask)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,

@@ -39,7 +39,7 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.wide, dtype=self.dtype, name="block_0")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         return nn.Dense(self.thin, dtype=self.dtype, name="block_2")(h)
 
 

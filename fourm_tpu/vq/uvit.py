@@ -166,7 +166,7 @@ class AdaLNBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = modulate(h, shift_mlp, scale_mlp)
         h = nn.Dense(int(D * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(D, dtype=self.dtype, name="mlp_fc2")(h)
         x = x + gate_mlp * h
         return x
@@ -226,7 +226,7 @@ class AdaLNDecoderBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = modulate(h, shift_mlp, scale_mlp)
         h = nn.Dense(int(D * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(D, dtype=self.dtype, name="mlp_fc2")(h)
         return x + gate_mlp * h
 

@@ -41,7 +41,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

@@ -84,9 +84,12 @@ def test_token_loss_type(tiny_model):
     model, params, mod_dict = tiny_model
     loss, (mod_loss, mod_count) = model.apply(params, mod_dict, 128, 128, loss_type="token")
     assert np.isfinite(float(loss))
-    # token loss is the count-weighted average of per-mod losses
-    total = sum(float(mod_loss[m]) * float(mod_count[m]) for m in mod_loss)
-    cnt = sum(float(mod_count[m]) for m in mod_loss)
+    # reference token loss weights each modality by logits.numel() =
+    # n_tokens * vocab_size (fm.py:628-637); matched exactly
+    from fourm_tpu.data.modality_info import MODALITY_INFO
+    vocab = {m: MODALITY_INFO[m].vocab_size for m in mod_loss}
+    total = sum(float(mod_loss[m]) * float(mod_count[m]) * vocab[m] for m in mod_loss)
+    cnt = sum(float(mod_count[m]) * vocab[m] for m in mod_loss)
     np.testing.assert_allclose(float(loss), total / cnt, rtol=1e-5)
 
 

@@ -1,0 +1,119 @@
+"""Training-loop feature tests (VERDICT round 1, item 4): frozen-trunk warm-start
+phase, --finetune load-minus-posembs, live eval loop, --layer_decay exposure."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourm_tpu.models import FourM, create_fourm_config
+from fourm_tpu.parallel import build_train_step, frozen_trunk_mask, init_train_state
+from fourm_tpu.utils.optim import cosine_schedule, create_optimizer
+from fourm_tpu.utils.synthetic import synthetic_mod_batch
+
+MODS = ("tok_rgb@224", "caption")
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = create_fourm_config("fm_tiny_6e_6d_gelu", MODS, MODS, encoder_depth=2,
+                              decoder_depth=2, dim=64, num_heads=2)
+    model = FourM(cfg)
+    batch = jax.tree.map(jnp.asarray, synthetic_mod_batch(MODS, 2, 32, 32, seed=0))
+    example = jax.tree.map(lambda x: x[:1], batch)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(r, example, 32, 32), jax.random.key(0)
+    )
+    tx = create_optimizer(params_shape, cosine_schedule(1e-2, 100, 0))
+    state, _ = init_train_state(model, tx, example, 32, 32, jax.random.key(0))
+    return cfg, model, tx, state, batch
+
+
+def test_frozen_phase_trunk_params_unchanged(tiny_setup):
+    cfg, model, tx, state, batch = tiny_setup
+    mask = frozen_trunk_mask(state.params)
+    step = build_train_step(model, tx, 32, 32, trainable_mask=mask, donate=False)
+    new_state, metrics = step(state, batch, jax.random.key(1))
+
+    p0, p1 = state.params["params"], new_state.params["params"]
+    # frozen: every encoder/decoder block + final norms bitwise unchanged
+    for key in p0:
+        flat0 = jax.tree_util.tree_leaves(p0[key])
+        flat1 = jax.tree_util.tree_leaves(p1[key])
+        same = all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(flat0, flat1))
+        if key.startswith(("encoder_", "decoder_")) and key.split("_")[-1].isdigit():
+            assert same, f"trunk param {key} changed during frozen phase"
+        elif key in ("encoder_norm", "decoder_norm"):
+            assert same, f"{key} changed during frozen phase"
+    # trainable: embeddings must actually move
+    emb_keys = [k for k in p0 if k.startswith("encoder_embeddings_")]
+    assert emb_keys
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for k in emb_keys
+        for a, b in zip(jax.tree_util.tree_leaves(p0[k]), jax.tree_util.tree_leaves(p1[k]))
+    )
+    assert moved, "embeddings did not train during frozen phase"
+
+
+def test_unfrozen_step_changes_trunk(tiny_setup):
+    cfg, model, tx, state, batch = tiny_setup
+    step = build_train_step(model, tx, 32, 32, donate=False)
+    new_state, _ = step(state, batch, jax.random.key(1))
+    p0, p1 = state.params["params"], new_state.params["params"]
+    k = next(k for k in p0 if k.startswith("encoder_0"))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0[k]), jax.tree_util.tree_leaves(p1[k]))
+    )
+    assert changed
+
+
+def test_finetune_load_minus_posembs(tiny_setup, tmp_path):
+    from fourm_tpu.cli.train_4m import load_finetune_weights
+    from fourm_tpu.utils.checkpoint import save_checkpoint
+
+    cfg, model, tx, state, batch = tiny_setup
+    ckpt_dir = tmp_path / "ckpts"
+    save_checkpoint(str(ckpt_dir), state.params, 5)
+
+    fresh = model.init(jax.random.key(42), jax.tree.map(lambda x: x[:1], batch), 32, 32)
+    merged = load_finetune_weights(str(ckpt_dir), cfg, fresh)
+
+    # non-posemb weights come from the checkpoint
+    a = np.asarray(merged["params"]["encoder_0"]["attn"]["qkv"]["kernel"])
+    b = np.asarray(state.params["params"]["encoder_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_train_cli_synthetic_eval_and_frozen(tmp_path):
+    """End-to-end CLI smoke: frozen phase runs, eval loop actually fires and
+    logs eval_loss (round-1 VERDICT: the eval surface was unreachable)."""
+    from fourm_tpu.cli.train_4m import main
+
+    out = tmp_path / "run"
+    main([
+        "--model", "fm_tiny_6e_6d_gelu", "--dim", "64", "--encoder_depth", "2",
+        "--decoder_depth", "2", "--num_heads", "2",
+        "--in_domains", "tok_rgb@224-caption", "--out_domains", "tok_rgb@224-caption",
+        "--synthetic_data", "--batch_size", "2", "--num_input_tokens", "32",
+        "--num_target_tokens", "32", "--fixed_eval_input_tokens", "32",
+        "--fixed_eval_target_tokens", "32", "--eval_size", "4",
+        "--total_tokens", "0.0001", "--warmup_tokens", "0.00001",
+        "--epoch_size", "16", "--max_steps", "4", "--eval_freq", "1",
+        "--frozen_model_epochs", "1", "--layer_decay", "0.9",
+        "--output_dir", str(out), "--run_name", "t", "--dtype", "float32",
+        "--print_freq", "1",
+    ])
+    log_path = None
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".jsonl") or f == "log.txt":
+                log_path = os.path.join(root, f)
+    assert log_path, f"no log written under {out}"
+    lines = [json.loads(l) for l in open(log_path) if l.strip()]
+    assert any("eval_loss" in l for l in lines), f"eval never ran: {lines}"
