@@ -49,6 +49,11 @@ def get_parser():
     # losses
     p.add_argument("--loss_fn", default="mse",
                    choices=["mse", "l1", "smooth_l1", "cross_entropy", "cosine", "binary"])
+    p.add_argument("--percept_loss_weight", type=float, default=0.0,
+                   help="LPIPS perceptual loss weight (reference :413-431)")
+    p.add_argument("--percept_loss_ckpt", default=None,
+                   help="LPIPS weights (.safetensors/.npz of the reference torch "
+                        "state dict); random init + warning when absent")
     # divae
     p.add_argument("--num_train_timesteps", type=int, default=1000)
     p.add_argument("--beta_schedule", default="squaredcos_cap_v2")
@@ -213,6 +218,22 @@ def main(args=None):
 
     loss_fn_name = args.loss_fn
 
+    # LPIPS perceptual loss (reference run_training_vqvae.py:413-431) — only
+    # meaningful for image-space reconstructions
+    lpips_model, lpips_vars = None, None
+    if args.percept_loss_weight > 0 and args.n_labels is None:
+        from ..vq.percept_losses import LPIPS, load_lpips
+
+        if args.percept_loss_ckpt:
+            lpips_model, lpips_vars = load_lpips(args.percept_loss_ckpt, args.input_size)
+            print(f"[lpips] loaded weights from {args.percept_loss_ckpt}")
+        else:
+            lpips_model = LPIPS()
+            xx = jnp.zeros((1, args.input_size, args.input_size, C))
+            lpips_vars = lpips_model.init(jax.random.key(7), xx, xx)
+            print("[lpips] WARNING: no --percept_loss_ckpt; using RANDOM VGG "
+                  "weights (architecture-only mode, not a trained metric)")
+
     def train_step(params, codebook, opt_state, batch, rng):
         rng_noise, rng_t, rng_q = jax.random.split(rng, 3)
 
@@ -240,7 +261,15 @@ def main(args=None):
                 rec = compute_reconst_loss(pred.astype(jnp.float32),
                                            batch if args.n_labels is None else batch,
                                            loss_fn_name)
-            return rec + args.codebook_weight * code_loss, (rec, code_loss, mut)
+            total = rec + args.codebook_weight * code_loss
+            if lpips_model is not None and (
+                not is_divae or args.prediction_type == "sample"
+            ):
+                total = total + args.percept_loss_weight * jnp.mean(
+                    lpips_model.apply(lpips_vars, pred.astype(jnp.float32),
+                                      batch.astype(jnp.float32))
+                )
+            return total, (rec, code_loss, mut)
 
         (total, (rec, code_loss, mut)), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -271,8 +300,26 @@ def main(args=None):
         if (step + 1) % args.eval_freq == 0 and not is_divae:
             tokens = model.apply({**params, **codebook}, batch, method="tokenize")
             recimg = model.apply({**params, **codebook}, batch, method="autoencode")
-            m = eval_metrics(np.asarray(recimg, np.float32), np.asarray(batch, np.float32),
-                             np.asarray(tokens), args.codebook_size)
+            pred_np, tgt_np = np.asarray(recimg, np.float32), np.asarray(batch, np.float32)
+            m = eval_metrics(pred_np, tgt_np, np.asarray(tokens), args.codebook_size)
+            if args.n_labels is None and pred_np.shape[-1] == 3:
+                from ..vq.percept_losses import frechet_distance, ms_ssim
+
+                m["ms_ssim"] = ms_ssim(pred_np, tgt_np)
+                if lpips_model is not None:
+                    m["lpips"] = float(np.mean(np.asarray(lpips_model.apply(
+                        lpips_vars, jnp.asarray(pred_np), jnp.asarray(tgt_np)))))
+                    # FID over VGG pool features (Frechet math identical to the
+                    # reference torchmetrics FID; InceptionV3 features when
+                    # those weights are available)
+                    feats = lpips_model.apply(lpips_vars, jnp.asarray(pred_np),
+                                              method=lambda mdl, x: mdl.net(x))
+                    feats_t = lpips_model.apply(lpips_vars, jnp.asarray(tgt_np),
+                                                method=lambda mdl, x: mdl.net(x))
+                    fp = np.asarray(feats[-1].mean(axis=(1, 2)))
+                    ft = np.asarray(feats_t[-1].mean(axis=(1, 2)))
+                    if fp.shape[0] > 1:
+                        m["vgg_fid"] = frechet_distance(ft, fp)
             print(f"[eval] {m}", flush=True)
             jsonl.write({"step": step, **{f"eval_{k}": v for k, v in m.items()}})
         if (step + 1) % args.save_ckpt_freq == 0 or step == args.total_steps - 1:

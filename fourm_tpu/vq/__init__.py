@@ -15,6 +15,21 @@ from .scheduling import (
 from .uvit import UVIT_PRESETS, UViT, build_uvit
 from .vit_models import VIT_SIZES, ViTDecoder, ViTEncoder, build_vit_decoder, build_vit_encoder
 from .mlp_models import BottleneckMLP, StandardMLP, build_mlp
-from .vqvae import VQ, VQVAE, DiVAE, divae_decode_quant, divae_decode_tokens
+from .vqvae import (
+    VQ,
+    VQVAE,
+    DiVAE,
+    VQControlNet,
+    controlnet_decode_quant,
+    controlnet_decode_tokens,
+    divae_decode_quant,
+    divae_decode_tokens,
+)
+from .controlnet import (
+    AutoencoderKL,
+    ControlNetCond,
+    controlnet_params_from_unet,
+    vqcontrolnet_trainable_mask,
+)
 from .memcodes import Memcodes
 from .unet import PatchedUNetCondCat, UNetModel, unet_patched

@@ -301,3 +301,148 @@ def divae_decode_quant(
 def divae_decode_tokens(model: DiVAE, variables, tokens: jnp.ndarray, rng: jax.Array, **kw):
     quant = model.apply(variables, tokens, method="tokens_to_embedding")
     return divae_decode_quant(model, variables, quant, rng, **kw)
+
+
+class VQControlNet(VQ):
+    """VQ encoder + ControlNet diffusion decoder over a frozen KL-VAE latent
+    space (reference vqvae.py:766-1047). Weights-optional: the SD UNet / VAE
+    stand-ins are random-init flax modules of the same architecture family;
+    pretrained weights import through the VQ safetensors mapping.
+
+    Training target space is the VAE latent (epsilon prediction by default,
+    PNDM scaled-linear schedule — the SD 1.5 configuration the reference
+    inherits from StableDiffusionPipeline, vqvae.py:845-846)."""
+
+    image_size_sd: Optional[int] = None
+    cls_free_guidance_dropout: float = 0.0
+    masked_cfg: bool = False
+    masked_cfg_low: int = 0
+    masked_cfg_high: Optional[int] = None
+    num_train_timesteps: int = 1000
+    prediction_type: str = "epsilon"
+    beta_schedule: str = "scaled_linear"
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    # decoder scale (SD 1.5: model_channels=320, mult (1,2,4,4); tests shrink)
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    attention_levels: Tuple[int, ...] = (0, 1, 2)
+    num_heads: int = 8
+    context_len: int = 77
+    context_dim: int = 768
+    vae_base_channels: int = 128
+    vae_ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    latent_channels: int = 4
+
+    def setup(self):
+        super().setup()
+        from .controlnet import AutoencoderKL, ControlNetCond
+
+        image_size_sd = self.image_size_sd or self.image_size
+        vae_down = 2 ** (len(self.vae_ch_mult) - 1)
+        self.decoder = ControlNetCond(
+            in_channels=self.latent_channels, cond_channels=self.latent_dim,
+            sample_size=image_size_sd // vae_down,
+            model_channels=self.model_channels, num_res_blocks=self.num_res_blocks,
+            channel_mult=self.channel_mult, attention_levels=self.attention_levels,
+            num_heads=self.num_heads, context_len=self.context_len,
+            context_dim=self.context_dim, dtype=self.compute_dtype, name="decoder",
+        )
+        self.vae = AutoencoderKL(
+            base_channels=self.vae_base_channels, ch_mult=self.vae_ch_mult,
+            latent_channels=self.latent_channels, dtype=self.compute_dtype,
+            name="vae",
+        )
+
+    def noise_scheduler(self) -> DiffusionScheduler:
+        return DiffusionScheduler(
+            kind="ddim", num_train_timesteps=self.num_train_timesteps,
+            beta_schedule=self.beta_schedule, beta_start=self.beta_start,
+            beta_end=self.beta_end, prediction_type=self.prediction_type,
+            clip_sample=False, thresholding=False, zero_terminal_snr=False,
+        )
+
+    # conditioning dropout shares DiVAE's sampler (reference sample_mask,
+    # vqvae.py:856-887 — same argsort-of-noise construction)
+    sample_cond_mask = DiVAE.sample_cond_mask
+
+    def vae_encode(self, x: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """Image -> frozen VAE latent, scaled (reference vqvae.py:927-938)."""
+        return jax.lax.stop_gradient(self.vae.encode(self.prepare_input(x), rng))
+
+    def vae_decode(self, z: jnp.ndarray, clip: bool = True) -> jnp.ndarray:
+        x = self.vae.decode(z)
+        return jnp.clip(x, -1.0, 1.0) if clip else x
+
+    def denoise_step(self, noised, timesteps, quant, cond_mask=None, orig_res=None,
+                     unconditional: bool = False, cond_scale: float = 1.0,
+                     prompt_emb=None):
+        return self.decoder(noised, timesteps, quant, cond_mask=cond_mask,
+                            unconditional=unconditional, cond_scale=cond_scale,
+                            prompt_emb=prompt_emb)
+
+    def init_all(self, input_clean, input_noised, timesteps):
+        """Init-only forward touching every submodule (decoder + VAE) so one
+        variables tree covers training, VAE encode/decode, and sampling."""
+        dec, code_loss = self(input_clean, input_noised, timesteps)
+        z = self.vae.encode(self.prepare_input(input_clean))
+        _ = self.vae.decode(z)
+        return dec, code_loss
+
+    def __call__(self, input_clean, input_noised, timesteps, cond_mask=None,
+                 prompt_emb=None, orig_res=None, train: bool = False):
+        """Training forward (reference vqvae.py:1007-1043): encode clean input
+        to quantized tokens, predict the noise of `input_noised` (a noised VAE
+        LATENT, shape (B, Hl, Wl, latent_channels))."""
+        quant, code_loss, _ = self.encode(input_clean, train=train)
+        if cond_mask is None and self.cls_free_guidance_dropout > 0.0 and train:
+            B, Hq, Wq, _ = quant.shape
+            cond_mask = self.sample_cond_mask(self.make_rng("rng"), B, Hq, Wq)
+        dec = self.decoder(input_noised, timesteps, quant, cond_mask=cond_mask,
+                           prompt_emb=prompt_emb)
+        return dec, code_loss
+
+
+def controlnet_decode_quant(
+    model: "VQControlNet",
+    variables,
+    quant: jnp.ndarray,
+    rng: jax.Array,
+    timesteps: Optional[int] = None,
+    guidance_scale: float = 0.0,
+    cond_scale: float = 1.0,
+    scheduler_timesteps_mode: str = "leading",
+    vae_decode: bool = True,
+    prompt_emb=None,
+) -> jnp.ndarray:
+    """ControlNet diffusion decoding in VAE-latent space, one lax.scan program
+    (reference decode_quant + PipelineCond, vqvae.py:884-921)."""
+    sched = model.noise_scheduler()
+    vae_down = 2 ** (len(model.vae_ch_mult) - 1)
+    size = (model.image_size_sd or model.image_size) // vae_down
+    B = quant.shape[0]
+    shape = (B, size, size, model.latent_channels)
+
+    def model_fn(noisy, t, cond):
+        return model.apply(variables, noisy, t, cond, cond_scale=cond_scale,
+                           prompt_emb=prompt_emb, method="denoise_step")
+
+    def model_fn_uncond(noisy, t, cond):
+        return model.apply(variables, noisy, t, cond, unconditional=True,
+                           method="denoise_step")
+
+    z = diffusion_sample(
+        model_fn, sched, rng, quant, shape, timesteps=timesteps,
+        guidance_scale=guidance_scale,
+        scheduler_timesteps_mode=scheduler_timesteps_mode,
+        model_fn_uncond=model_fn_uncond,
+    )
+    if vae_decode:
+        return model.apply(variables, z, method="vae_decode")
+    return z
+
+
+def controlnet_decode_tokens(model: "VQControlNet", variables, tokens, rng, **kw):
+    quant = model.apply(variables, tokens, method="tokens_to_embedding")
+    return controlnet_decode_quant(model, variables, quant, rng, **kw)
