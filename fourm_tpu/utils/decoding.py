@@ -264,10 +264,29 @@ def decode_dict(
             toks = np.asarray(d["tensor"])
             toks = jnp.asarray(toks.reshape(toks.shape[0], 4, 4))
             dec[key] = np_squeeze(np.asarray(tokenizers[k].decode_tokens(toks)))
-        elif k in ("caption", "det", "sam_instance", "human_poses"):
+        elif k in ("caption", "det"):
             _, _, merged = decode_text(mod_dict, key, text_tokenizer)
             strip = lambda s: s.replace("[EOS]", "").replace("[PAD]", "").strip()
             dec[key] = [strip(s) for s in merged] if isinstance(merged, list) else strip(merged)
+        elif k == "sam_instance":
+            if k in tokenizers:
+                dec[key] = decode_sam_instances(
+                    mod_dict, tokenizers, text_tokenizer, key=key, image_size=res)
+            else:
+                _, _, merged = decode_text(mod_dict, key, text_tokenizer)
+                strip = lambda s: s.replace("[EOS]", "").replace("[PAD]", "").strip()
+                dec[key] = [strip(s) for s in merged] if isinstance(merged, list) else strip(merged)
+        elif k == "human_poses":
+            _, _, merged = decode_text(mod_dict, key, text_tokenizer)
+            strip = lambda s: s.replace("[EOS]", "").replace("[PAD]", "").strip()
+            texts = [strip(s) for s in merged] if isinstance(merged, list) else [strip(merged)]
+            if k in tokenizers:
+                background = dec.get("rgb@224")
+                imgs = [visualize_human_poses(t, tokenizers[k], background,
+                                              image_size=res) for t in texts]
+                dec[key] = np_squeeze(np.stack(imgs))
+            else:
+                dec[key] = texts if len(texts) > 1 else texts[0]
         elif k == "metadata":
             dec[key] = decode_metadata(mod_dict, text_tokenizer, key)
         elif k == "color_palette":
@@ -280,3 +299,246 @@ def decode_dict(
         else:
             continue
     return dec
+
+
+# ------------------------------------------------------------- SAM instances
+
+
+def _group_by_identifier(items, identifier):
+    """[a,b,c,a,d,d] with identifier a -> [[b,c],[d,d]] (reference
+    plotting_utils.py:534-539)."""
+    from itertools import groupby
+
+    return [list(g) for key, g in groupby(items, lambda x: x == identifier) if not key]
+
+
+def _map_location(inp: str, tokens: bool = False):
+    """'v0=123' -> 123; with tokens=True, 'v1=x' -> x+512 (reference :541-558)."""
+    if "=" not in inp:
+        return None
+    axis, position = inp.split("=")
+    try:
+        position = int(position)
+    except ValueError:
+        return None
+    if tokens:
+        return position if axis == "v0" else position + 512
+    return position
+
+
+def _bbox_iou(box1, box2) -> float:
+    x1, y1 = max(box1[0], box2[0]), max(box1[1], box2[1])
+    x2, y2 = min(box1[2], box2[2]), min(box1[3], box2[3])
+    inter = max(0, x2 - x1) * max(0, y2 - y1)
+    a1 = (box1[2] - box1[0]) * (box1[3] - box1[1])
+    a2 = (box2[2] - box2[0]) * (box2[3] - box2[1])
+    return inter / max(a1 + a2 - inter, 1e-9)
+
+
+def decode_sam_instances(mod_dict, tokenizers: Dict[str, TokenizerBundle],
+                         text_tokenizer, key: str = "sam_instance",
+                         image_size: int = 224, token_len: int = 16) -> np.ndarray:
+    """Decode SAM-instance token strings to a colored per-instance mask image
+    (reference plotting_utils.py:512-672): parse point/polygon groups, decode
+    each 16-token polygon through the SAM-instance tokenizer (sigmoid mask),
+    dedupe near-identical instances (Dice > 0.8 and bbox IoU > 0.9), paint by
+    descending area with a deterministic palette."""
+    import cv2
+
+    decoded = decode_text(mod_dict, key, text_tokenizer)[2]
+    all_decoded = decoded if isinstance(decoded, list) else [decoded]
+    all_decoded = [d.replace(" [EOS]", "").replace("[EOS]", "") for d in all_decoded]
+
+    rng = np.random.default_rng(seed=0)
+    sam_palette = [rng.integers(0, 255, size=3) for _ in range(1000)]
+
+    outputs = []
+    for dec_str in all_decoded:
+        tokens_per_sample, bboxes_per_sample, areas = [], [], []
+        parts = dec_str.split()
+        for part in _group_by_identifier(parts, identifier="point"):
+            if len(part[2:]) <= 1:  # 'none' cases
+                continue
+            for positions in _group_by_identifier(part, identifier="polygon"):
+                if len(positions) != token_len + 4:
+                    continue
+                bbox, toks = positions[:4], positions[4:]
+                min_w, min_h, max_w, max_h = map(_map_location, bbox)
+                if None in (min_w, max_w, min_h, max_h) or min_w >= max_w or min_h >= max_h:
+                    continue
+                toks = [_map_location(t, tokens=True) for t in toks]
+                if None in toks:
+                    continue
+                tokens_per_sample.append(np.array(toks))
+                bboxes_per_sample.append(np.array([min_h, min_w, max_h, max_w]))
+                areas.append((max_w - min_w) * (max_h - min_h))
+
+        final = np.zeros((image_size, image_size, 3), dtype=np.uint8)
+        if not areas:
+            outputs.append(final)
+            continue
+        order = np.argsort(-np.asarray(areas))
+        tokens_arr = np.stack(tokens_per_sample)[order].reshape(-1, 4, 4)
+        bboxes_arr = np.stack(bboxes_per_sample)[order]
+        masks = np.asarray(tokenizers[key].decode_tokens(jnp.asarray(tokens_arr)))
+        masks = 1.0 / (1.0 + np.exp(-masks.astype(np.float64)))  # sigmoid
+        masks = masks.reshape(masks.shape[0], masks.shape[1], masks.shape[2])
+
+        rep_masks, rep_boxes = [], []
+        for mask, bbox in zip(masks, bboxes_arr):
+            if (mask.max() - mask.min()) < 0.9:
+                continue
+            for rms, rbs in zip(rep_masks, rep_boxes):
+                rm, rb = rms[0], rbs[0]
+                dice = 2 * ((rm * mask).sum() + 0.01) / (rm.sum() + mask.sum() + 0.01)
+                if dice > 0.8 and _bbox_iou(rb, bbox) > 0.9:
+                    rms.append(mask)
+                    rbs.append(bbox)
+                    break
+            else:
+                rep_masks.append([mask])
+                rep_boxes.append([bbox])
+
+        for i, (rms, rbs) in enumerate(zip(rep_masks, rep_boxes)):
+            mask = np.mean(rms, axis=0)
+            min_h, min_w, max_h, max_w = np.mean(rbs, axis=0).astype(np.int32).tolist()
+            mask = cv2.resize(mask, (max(max_w - min_w, 1), max(max_h - min_h, 1)),
+                              interpolation=cv2.INTER_CUBIC)
+            max_w, max_h = min(max_w, image_size), min(max_h, image_size)
+            m = mask[: max_h - min_h, : max_w - min_w] > 0.5
+            final[min_h:max_h, min_w:max_w, :][m] = sam_palette[i]
+        outputs.append(final)
+    return outputs[0] if len(outputs) == 1 else np.stack(outputs)
+
+
+# ------------------------------------------------------------- human poses
+
+# SMPL kinematic tree (public model topology: parent index per joint)
+SMPL_PARENTS = (-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14,
+                16, 17, 18, 19, 20, 21)
+# Approximate SMPL neutral rest-pose joint locations (meters). This replaces
+# the licensed SMPL mesh data the reference vendors via HMR2 (plotting_utils.py
+# :913-932, itself optional there): good enough to drive a skeleton render.
+SMPL_REST_JOINTS = np.array([
+    [0.00, 0.00, 0.00], [0.06, -0.09, 0.00], [-0.06, -0.09, 0.00],
+    [0.00, 0.10, 0.00], [0.10, -0.49, 0.00], [-0.10, -0.49, 0.00],
+    [0.00, 0.23, 0.00], [0.09, -0.90, 0.00], [-0.09, -0.90, 0.00],
+    [0.00, 0.29, 0.00], [0.11, -0.97, 0.12], [-0.11, -0.97, 0.12],
+    [0.00, 0.47, 0.00], [0.04, 0.42, 0.00], [-0.04, 0.42, 0.00],
+    [0.00, 0.58, 0.00], [0.17, 0.44, 0.00], [-0.17, 0.44, 0.00],
+    [0.43, 0.42, 0.00], [-0.43, 0.42, 0.00], [0.68, 0.42, 0.00],
+    [-0.68, 0.42, 0.00], [0.76, 0.42, 0.00], [-0.76, 0.42, 0.00],
+])
+
+
+def parse_human_pose_instances(pose_str: str) -> list:
+    """Parse the 39-token-per-instance pose string into structured params
+    (reference visualize_human_poses parsing, plotting_utils.py:934-1000):
+    bbox_xyxy (224px space), pred_cam (3,), betas (10,), global_orient (3,3),
+    pose_token_ids (8,) for the pose tokenizer."""
+    words = pose_str.split()
+    instances = []
+    for inst in range(len(words) // 39):
+        w = words[inst * 39: (inst + 1) * 39]
+        try:
+            out = {}
+            out["bbox_xyxy"] = np.array([int(w[i][3:]) / 999 * 224 for i in (1, 2, 3, 4)])
+            ci = w.index("camera")
+            out["pred_cam"] = np.array(
+                [(int(w[ci + j][3:]) - 49.95) / 49.95 for j in (1, 2, 3)])
+            si = w.index("shape")
+            out["betas"] = np.array(
+                [(int(w[si + j][3:]) - 499.5) / 166.5 for j in range(1, 11)])
+            gi = w.index("global")
+            out["global_orient"] = np.array(
+                [(int(w[gi + j][3:]) - 499.5) / 499.5 for j in range(1, 10)]
+            ).reshape(3, 3)
+            pi = w.index("pose")
+            out["pose_token_ids"] = np.array([
+                int(w[pi + 1 + j][3:]) + (512 if w[pi + 1 + j].startswith("v1") else 0)
+                for j in range(8)
+            ])
+            instances.append(out)
+        except (ValueError, IndexError):
+            continue
+    return instances
+
+
+def _smpl_forward_kinematics(global_orient: np.ndarray,
+                             body_rotmats: np.ndarray) -> np.ndarray:
+    """Joint positions from per-joint rotations over the approximate rest
+    skeleton (pose2rot=False semantics). body_rotmats: (23, 3, 3)."""
+    def orthonormalize(R):
+        u, _, vt = np.linalg.svd(R)
+        return u @ vt
+
+    n = len(SMPL_PARENTS)
+    rots = [orthonormalize(global_orient)]
+    pos = [SMPL_REST_JOINTS[0]]
+    for i in range(1, n):
+        p = SMPL_PARENTS[i]
+        local = orthonormalize(body_rotmats[i - 1]) if i - 1 < len(body_rotmats) else np.eye(3)
+        rots.append(rots[p] @ local)
+        pos.append(pos[p] + rots[p] @ (SMPL_REST_JOINTS[i] - SMPL_REST_JOINTS[p]))
+    return np.stack(pos)
+
+
+def _cam_crop_to_full(pred_cam, box_center, box_size, img_size, focal_length):
+    """HMR2 weak-perspective crop-cam -> full-image translation (reference
+    hmr2 renderer cam_crop_to_full)."""
+    s, tx, ty = pred_cam
+    w, h = img_size
+    bs = box_size * s + 1e-9
+    tz = 2 * focal_length / bs
+    tx_full = 2 * (box_center[0] - w / 2) / bs + tx
+    ty_full = 2 * (box_center[1] - h / 2) / bs + ty
+    return np.array([tx_full, ty_full, tz])
+
+
+def visualize_human_poses(pose_str: str, pose_tokenizer: TokenizerBundle,
+                          background: Optional[np.ndarray] = None,
+                          image_size: int = 224) -> np.ndarray:
+    """Render decoded human poses as 2D skeletons over the (optional) RGB
+    background. Replaces the reference's optional SMPL-mesh render
+    (plotting_utils.py:934-1040) with a dependency-free skeleton: decode the
+    8 pose tokens to 23 body rotation matrices via the pose tokenizer, run
+    forward kinematics over an approximate rest skeleton, project with the
+    predicted crop camera, draw bones."""
+    import cv2
+
+    img = (np.ascontiguousarray((background * 255).astype(np.uint8))
+           if background is not None and np.ndim(background) == 3
+           else np.zeros((image_size, image_size, 3), np.uint8))
+    focal = 5000.0 / 256.0 * image_size
+
+    for inst in parse_human_pose_instances(pose_str):
+        try:
+            toks = jnp.asarray(inst["pose_token_ids"].reshape(1, 8, 1))
+            dec = np.asarray(pose_tokenizer.decode_tokens(toks)).reshape(-1)
+            if dec.size < 23 * 9:
+                continue
+            body_rotmats = dec[: 23 * 9].reshape(23, 3, 3)
+            joints = _smpl_forward_kinematics(inst["global_orient"], body_rotmats)
+            # SMPL/graphics y-up -> image y-down
+            joints = joints * np.array([1.0, -1.0, 1.0])
+            bbox = inst["bbox_xyxy"] / 224.0 * image_size
+            center = np.array([(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2])
+            size = max((bbox[2] - bbox[0]), (bbox[3] - bbox[1]))
+            t = _cam_crop_to_full(inst["pred_cam"], center, size,
+                                  (image_size, image_size), focal)
+            pts = joints + t
+            xy = np.stack([
+                focal * pts[:, 0] / np.maximum(pts[:, 2], 1e-6) + image_size / 2,
+                focal * pts[:, 1] / np.maximum(pts[:, 2], 1e-6) + image_size / 2,
+            ], axis=1).astype(np.int32)
+            cv2.rectangle(img, (int(bbox[0]), int(bbox[1])), (int(bbox[2]), int(bbox[3])),
+                          (166, 189, 219), 1)
+            for i in range(1, len(SMPL_PARENTS)):
+                p = SMPL_PARENTS[i]
+                cv2.line(img, tuple(xy[p]), tuple(xy[i]), (66, 135, 245), 2)
+            for x, y in xy:
+                cv2.circle(img, (int(x), int(y)), 2, (255, 255, 255), -1)
+        except Exception as e:  # mirror reference's per-instance tolerance
+            print(f"Error decoding human pose instance: {e}")
+            continue
+    return img.astype(np.float32) / 255.0
