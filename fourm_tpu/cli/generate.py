@@ -30,6 +30,15 @@ def get_parser():
     p.add_argument("--top_p", type=float, default=0.0)
     p.add_argument("--decoding_steps", type=int, default=25)
     p.add_argument("--perform_sr", action="store_true")
+    p.add_argument("--tokenizer", action="append", default=[],
+                   metavar="MOD=PATH",
+                   help="tokenizer checkpoint per modality key (e.g. "
+                        "tok_rgb=ckpts/rgb_16k.safetensors); repeatable. When "
+                        "given, generated tokens are decoded and saved as "
+                        "images/text (reference run_generation.py:662+)")
+    p.add_argument("--detokenizer_steps", type=int, default=50,
+                   help="diffusion steps for DiVAE detokenization")
+    p.add_argument("--save_tokens", action="store_true", default=True)
     p.add_argument("--output_dir", default="out/generation")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
@@ -38,15 +47,50 @@ def get_parser():
 
 
 def load_fm(path: str):
+    """Load a FourM checkpoint: released .safetensors (config in metadata), or
+    a training output dir (config.json + orbax checkpoints/step_*)."""
     import jax
+    import jax.numpy as jnp
 
-    from ..models import FourM
-    from ..utils.checkpoint import load_fourm_safetensors
+    from ..models import FourM, FourMConfig
+    from ..utils.checkpoint import (
+        latest_checkpoint_steps,
+        load_checkpoint,
+        load_fourm_safetensors,
+    )
 
     if path.endswith(".safetensors"):
         config, variables = load_fourm_safetensors(path)
         return FourM(config), variables
-    raise SystemExit(f"unsupported checkpoint format: {path} (expected .safetensors)")
+    if os.path.isdir(path):
+        cfg_path = os.path.join(path, "config.json")
+        if not os.path.exists(cfg_path):
+            raise SystemExit(f"{path}: no config.json next to the orbax checkpoints "
+                             "(written by train_4m)")
+        with open(cfg_path) as f:
+            cfg_dict = json.load(f)
+        for k in ("encoder_modalities", "decoder_modalities"):
+            cfg_dict[k] = tuple(cfg_dict[k])
+        config = FourMConfig(**cfg_dict)
+        model = FourM(config)
+        ckpt_dir = os.path.join(path, "weights")
+        steps = latest_checkpoint_steps(ckpt_dir)
+        if not steps:
+            raise SystemExit(f"no params export under {ckpt_dir} "
+                             "(written by train_4m alongside checkpoints/)")
+        from ..utils.synthetic import synthetic_mod_batch
+
+        example = jax.tree.map(
+            lambda x: jnp.asarray(x[:1]),
+            synthetic_mod_batch(config.encoder_modalities, 1, 32, 32, seed=0),
+        )
+        abstract = jax.eval_shape(
+            lambda r: model.init(r, example, 32, 32), jax.random.key(0)
+        )
+        variables = load_checkpoint(ckpt_dir, steps[-1], abstract)
+        return model, variables
+    raise SystemExit(f"unsupported checkpoint format: {path} "
+                     "(expected .safetensors or an orbax output dir)")
 
 
 def iter_samples(args, text_tokenizer):
@@ -89,9 +133,20 @@ def main(args=None):
     model, variables = load_fm(args.fm_ckpt)
     fm_sr = load_fm(args.fm_sr_ckpt) if args.fm_sr_ckpt else None
     text_tokenizer = load_tokenizer(args.text_tokenizer_path) if args.text_tokenizer_path else None
+
+    tokenizers = {}
+    if args.tokenizer:
+        from ..utils.decoding import TokenizerBundle
+        from ..vq import get_image_tokenizer
+
+        for spec in args.tokenizer:
+            mod, tok_path = spec.split("=", 1)
+            tok_model, tok_vars = get_image_tokenizer(tok_path)
+            tokenizers[mod] = TokenizerBundle(model=tok_model, variables=tok_vars)
+
     sampler = FourMSampler(
         fm=(model, variables), fm_sr=fm_sr, text_tokenizer=text_tokenizer,
-        top_k=args.top_k, top_p=args.top_p,
+        tokenizers=tokenizers, top_k=args.top_k, top_p=args.top_p,
     )
 
     count = 0
@@ -106,15 +161,38 @@ def main(args=None):
             out = sampler.generate(mod_dict, schedule, seed=seed)
             if args.perform_sr and sampler.sampler_sr is not None:
                 out = sampler.super_resolve(out, seed=seed)
-            # save raw token outputs per modality (decode separately with tokenizers)
-            save = {}
-            for mod in target_domains:
-                if mod in out:
-                    save[mod] = np.asarray(out[mod]["tensor"])
-            path = os.path.join(args.output_dir, f"{sample_id}_v{var}.npz")
-            np.savez(path, **save)
+            # raw token outputs per modality
+            if args.save_tokens:
+                save = {}
+                for mod in target_domains:
+                    if mod in out:
+                        save[mod] = np.asarray(out[mod]["tensor"])
+                path = os.path.join(args.output_dir, f"{sample_id}_v{var}.npz")
+                np.savez(path, **save)
+                print(f"[{count}] saved {path}")
+            # decode to images / text with the loaded tokenizers
+            # (reference run_generation.py:662-760 saves decoded outputs)
+            if tokenizers or text_tokenizer is not None:
+                decoded = sampler.decode(out, decoding_steps=args.detokenizer_steps,
+                                         seed=seed)
+                for mod, val in decoded.items():
+                    base = os.path.join(args.output_dir,
+                                        f"{sample_id}_v{var}_{mod.replace('@', '_')}")
+                    if isinstance(val, str) or (
+                        isinstance(val, list) and val and isinstance(val[0], str)
+                    ):
+                        with open(base + ".txt", "w") as fh:
+                            fh.write("\n".join(val) if isinstance(val, list) else val)
+                    elif isinstance(val, np.ndarray) and val.ndim >= 2:
+                        from PIL import Image
+
+                        arr = val[0] if val.ndim == 4 else val
+                        if arr.ndim == 2:
+                            arr = np.stack([arr] * 3, -1)
+                        if arr.dtype != np.uint8:
+                            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                        Image.fromarray(arr).save(base + ".png")
             count += 1
-            print(f"[{count}] saved {path}")
     print(f"generated {count} outputs")
 
 

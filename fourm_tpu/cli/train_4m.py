@@ -223,6 +223,13 @@ def main(args=None):
         num_register_tokens=args.num_register_tokens, remat=args.remat, **overrides,
     )
     model = FourM(config)
+    # persist the model config so generation/eval can rebuild the model from
+    # the orbax checkpoint dir alone (reference embeds it in safetensors metadata)
+    import dataclasses as _dc
+    import json as _json
+
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        _json.dump(_dc.asdict(config), f, indent=1)
 
     # data
     eval_in = args.fixed_eval_input_tokens if args.fixed_eval else args.num_input_tokens
@@ -376,6 +383,8 @@ def main(args=None):
 
         if (step + 1) % (steps_per_epoch * args.save_ckpt_freq) == 0 or step == total_steps - 1:
             save_checkpoint(os.path.join(output_dir, "checkpoints"), state, step + 1)
+            # params-only export for generation/eval (loaded by generate.load_fm)
+            save_checkpoint(os.path.join(output_dir, "weights"), state.params, step + 1)
             print(f"[ckpt] saved step {step + 1}")
 
         if val_loader_fn is not None and (

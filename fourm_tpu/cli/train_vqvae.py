@@ -45,6 +45,8 @@ def get_parser():
     p.add_argument("--commitment_weight", type=float, default=1.0)
     p.add_argument("--codebook_weight", type=float, default=1.0)
     p.add_argument("--kmeans_init", action="store_true")
+    p.add_argument("--freeze_enc", action="store_true",
+                   help="freeze the encoder (reference frozenenc recipes)")
     p.add_argument("--quantizer_ema_decay", type=float, default=None)
     # losses
     p.add_argument("--loss_fn", default="mse",
@@ -147,7 +149,7 @@ def main(args=None):
         threshold_ema_dead_code=args.threshold_ema_dead_code,
         code_replacement_policy=args.code_replacement_policy,
         commitment_weight=args.commitment_weight, kmeans_init=args.kmeans_init,
-        dtype=args.dtype,
+        freeze_enc=args.freeze_enc, dtype=args.dtype,
     )
     is_divae = args.model_type == "divae"
     if is_divae:

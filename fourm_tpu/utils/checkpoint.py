@@ -451,6 +451,17 @@ def import_vq_state_dict(state_dict: Dict[str, Any], variables) -> Dict:
     return result
 
 
+def export_vq_safetensors(variables, config: Dict[str, Any], path: str):
+    """Write a tokenizer checkpoint in the release format: reference-style torch
+    names + the model config embedded as YAML metadata (reference
+    checkpoint.py:176-192). Loadable by vq.get_image_tokenizer."""
+    import yaml
+    from safetensors.numpy import save_file
+
+    tensors = export_vq_torch_state(variables)
+    save_file(tensors, path, metadata={"config": yaml.safe_dump(dict(config))})
+
+
 def load_vq_safetensors(path: str, model, example_input, rngs=None):
     """Load a released tokenizer safetensors checkpoint into a VQ/VQVAE/DiVAE model.
     Returns (config_metadata, variables)."""

@@ -33,3 +33,6 @@ from .controlnet import (
 )
 from .memcodes import Memcodes
 from .unet import PatchedUNetCondCat, UNetModel, unet_patched
+from .loader import get_image_tokenizer
+from .percept_losses import (LPIPS, VGG16Features, feature_perceptual_loss,
+    frechet_distance, import_lpips_state, inception_score, load_lpips, ms_ssim)
