@@ -1,40 +1,52 @@
-"""Benchmark: RGB-to-all chained generation, samples/sec/chip — the BASELINE.json
-headline metric ("Samples/sec/chip RGB-to-all (4M-21 B/XL)").
+"""Benchmark: the BASELINE.json headline metrics on real hardware.
 
-Measures the full chained any-to-any token generation of the Demo4MSampler default
-RGB->X schedule over the 4M-21 modality set (8 image-token targets via ROAR + 6
-autoregressive sequence targets with KV-cached decoding), with the Pallas fused
-attention kernel, bf16, on whatever jax.devices() provides (one v5e chip under the
-driver). Untrained weights time identically to trained ones for the fixed-shape
-parts; AR decoding without EOS runs to the full target length, making this a
+Headline (the JSON "value"): samples/sec/chip for RGB-to-all chained generation
+with 4M-21 B over the FULL Demo4MSampler default target chain (15 targets: 9
+ROAR image-token modalities + 6 KV-cached autoregressive sequence modalities),
+Pallas fused attention, bf16, batch-doubled CFG where scheduled. Untrained
+weights time identically to trained ones for the fixed-shape parts; AR decoding
+without a learned EOS runs to the full target length, making this a
 CONSERVATIVE (worst-case) number.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The reference
-repo publishes no throughput numbers (SURVEY.md §6), so vs_baseline is null until
-an A100 measurement of the reference exists.
+Extra fields in the same JSON object:
+  * vq_tokenize_images_per_sec: batch VQ tokenization @224 (ViT-B/16 encoder ->
+    16k-codebook Pallas nearest-code search) — the second BASELINE metric —
+    plus a roofline fraction vs the HBM-bandwidth bound of the codebook search.
+  * train_step_samples_per_sec + train_mfu: 4M-B mod-7 training step (128/128
+    tokens) and its model-FLOPs-utilization estimate vs 197 TFLOP/s bf16 (v5e).
+BENCH_FULL=1 additionally runs the 448px SR chain and the 4M-XL variant
+(several extra minutes of compiles on a cold cache).
+
+Prints ONE JSON line. The reference repo publishes no throughput numbers
+(SURVEY.md §6), so vs_baseline stays null until an A100 measurement of the
+reference exists.
 """
 
 import json
 import os
+import tempfile
 import time
 
 import numpy as np
 
 
-def main():
-    import jax
+def build_text_tokenizer():
+    from fourm_tpu.utils.text_tokenizer import (
+        generate_sentinel_tokens,
+        train_unified_wordpiece_tokenizer,
+    )
 
-    # persistent compilation cache: driver re-runs skip the ~1 min/program compiles
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-    import jax.numpy as jnp
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("a photo of a cat and a dog\n" * 200)
+        corpus = f.name
+    return train_unified_wordpiece_tokenizer(
+        corpus, vocab_size=300, sentinel_tokens=generate_sentinel_tokens(num=20),
+        show_progress=False,
+    )
 
+
+def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label: str):
     from fourm_tpu.api import FourMSampler
-    from fourm_tpu.generate import init_empty_target_modality, init_full_input_modality
     from fourm_tpu.models import FourM, create_fourm_config
     from fourm_tpu.ops.transformer import use_pallas_attention
     from fourm_tpu.utils.synthetic import (
@@ -43,19 +55,8 @@ def main():
         synthetic_mod_batch,
     )
 
-    B = 4  # batch of images generated together per chip
-    # Representative RGB-to-all target subset: every vocab size and decoding
-    # scheme (ROAR img targets at 196 + 256 tokens, AR sequences at 3 lengths).
-    # Each target modality is its own compiled program; the full 14-target chain
-    # times identically per target but overflows the bench's compile budget on
-    # the remote-compile tunnel.
-    TARGETS = [
-        "tok_clip@224", "tok_depth@224", "tok_semseg@224", "tok_dinov2@224",
-        "caption", "metadata",
-    ]
-
     cfg = create_fourm_config(
-        "fm_base_12e_12d_swiglu_qknorm_nobias",
+        model_name,
         encoder_modalities=MOD21_MODALITIES,
         decoder_modalities=MOD21_DECODER_MODALITIES,
         dtype="bfloat16",
@@ -65,57 +66,177 @@ def main():
         jnp.asarray, synthetic_mod_batch(MOD21_MODALITIES, 1, 64, 64, seed=0)
     )
     params = model.init(jax.random.key(0), init_batch, 64, 64)
-
-    # minimal text tokenizer (sentinel ids for AR span merging); trained release
-    # tokenizers plug in identically
-    import tempfile
-
-    from fourm_tpu.utils.text_tokenizer import (
-        generate_sentinel_tokens,
-        train_unified_wordpiece_tokenizer,
-    )
-
-    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
-        f.write("a photo of a cat and a dog\n" * 200)
-        corpus = f.name
-    tok = train_unified_wordpiece_tokenizer(
-        corpus, vocab_size=300, sentinel_tokens=generate_sentinel_tokens(num=20),
-        show_progress=False,
-    )
     sampler = FourMSampler(fm=(model, params), text_tokenizer=tok)
 
     rng = np.random.RandomState(0)
-    sample = {"rgb@224": rng.rand(B, 224, 224, 3).astype(np.float32)}
-    mod_dict = sampler.prepare_sample(sample, ["rgb@224"], TARGETS, batch_size=B)
-    schedule = sampler.build_schedule(["rgb@224"], TARGETS)
+    sample = {"rgb@224": rng.rand(batch, 224, 224, 3).astype(np.float32)}
+    mod_dict = sampler.prepare_sample(sample, ["rgb@224"], targets, batch_size=batch)
+    schedule = sampler.build_schedule(["rgb@224"], targets)
 
     def run(seed):
         with use_pallas_attention():
             out = sampler.generate(dict(mod_dict), schedule, seed=seed)
-        # fence: fetch one token tensor per target to host
-        for t in TARGETS:
+        for t in targets:  # fence with host fetches (axon tunnel quirk)
             _ = np.asarray(out[t]["tensor"][0, :1])
         return out
 
     t0 = time.perf_counter()
-    run(0)  # compile
+    run(0)
     compile_s = time.perf_counter() - t0
-
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         run(1 + i)
     dt = time.perf_counter() - t0
-    samples_per_sec_chip = B * iters / dt / len(jax.devices())
+    sps = batch * iters / dt / len(jax.devices())
+    print(f"# {label}: compile {compile_s:.0f}s, steady {dt / iters:.2f}s "
+          f"per {batch}-image batch -> {sps:.3f} samples/s/chip")
+    return sps
+
+
+def bench_vq_tokenize(jax, jnp):
+    """Batch VQ tokenization images/sec @224 (BASELINE metric 2) + roofline."""
+    from fourm_tpu.vq import VQ
+
+    B = 64
+    model = VQ(image_size=224, patch_size=16, enc_type="vit_b_enc",
+               codebook_size=16384, latent_dim=32, nearest_impl="pallas",
+               dtype="bfloat16")
+    x0 = jnp.zeros((B, 224, 224, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)},
+                           x0[:1])
+    tokenize = jax.jit(lambda v, x: model.apply(v, x, method="tokenize"))
+    x = jnp.asarray(np.random.RandomState(0).rand(B, 224, 224, 3).astype(np.float32))
+    _ = np.asarray(tokenize(variables, x))  # compile + fence
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = tokenize(variables, x)
+    _ = np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+    ips = B / dt
+
+    # roofline: the codebook search streams Q(196B x 32) + codebook(16384 x 32)
+    # fp32 per batch from HBM; v5e HBM BW ~819 GB/s. The ViT-B encoder adds
+    # ~17.5 GFLOP/img of MXU work — report both bounds.
+    bytes_search = (B * 196 * 32 + 16384 * 32) * 4
+    t_search_sol = bytes_search / 819e9
+    enc_flops = 2 * 86e6 * 196 * B  # ~2*params*tokens
+    t_enc_sol = enc_flops / 197e12
+    sol_ips = B / (t_search_sol + t_enc_sol)
+    print(f"# vq tokenize: {ips:.0f} img/s ({dt*1e3:.2f} ms/batch-{B}); "
+          f"speed-of-light (HBM search + MXU encoder) ~{sol_ips:.0f} img/s")
+    return ips, ips / sol_ips
+
+
+def bench_train_step(jax, jnp):
+    """4M-B mod-7 train step samples/sec/chip + MFU (reproduces the round-1
+    ROUND_NOTES claim in a committed artifact)."""
+    import optax
+
+    from fourm_tpu.models import FourM, create_fourm_config
+    from fourm_tpu.parallel import build_train_step, init_train_state
+    from fourm_tpu.utils.optim import cosine_schedule, create_optimizer
+    from fourm_tpu.utils.synthetic import (
+        MOD7_DECODER_MODALITIES,
+        MOD7_MODALITIES,
+        synthetic_mod_batch,
+    )
+
+    B = 32
+    cfg = create_fourm_config(
+        "fm_base_12e_12d_swiglu_nobias",
+        encoder_modalities=MOD7_MODALITIES,
+        decoder_modalities=MOD7_DECODER_MODALITIES,
+        dtype="bfloat16",
+    )
+    model = FourM(cfg)
+    batch = jax.tree.map(jnp.asarray,
+                         synthetic_mod_batch(MOD7_MODALITIES, B, 128, 128, seed=0))
+    example = jax.tree.map(lambda x: x[:1], batch)
+    shapes = jax.eval_shape(lambda r: model.init(r, example, 128, 128), jax.random.key(0))
+    tx = create_optimizer(shapes, cosine_schedule(1e-4, 1000, 10))
+    state, _ = init_train_state(model, tx, example, 128, 128, jax.random.key(0))
+    step = build_train_step(model, tx, 128, 128, donate=False)
+    rng = jax.random.key(1)
+    new_state, metrics = step(state, batch, rng)
+    _ = float(metrics["loss"])  # compile + fence
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        new_state, metrics = step(state, batch, rng)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    sps = B / dt / len(jax.devices())
+
+    # MFU: fwd+bwd ~ 6 * params_active * tokens. Encoder sees 128, decoder 128
+    # (self) + cross into 128. Use 6*N*T with N=198e6 trunk+emb active params,
+    # T=256 tokens/sample as the standard coarse estimate.
+    flops_per_sample = 6 * 198e6 * 256
+    mfu = flops_per_sample * B / dt / 197e12
+    print(f"# train step: {sps:.0f} samples/s/chip ({dt*1e3:.1f} ms/step B={B}), "
+          f"MFU~{mfu:.2f}")
+    return sps, mfu
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from fourm_tpu.api import DEFAULT_ORDER, DEFAULT_ORDER_SR
+
+    tok = build_text_tokenizer()
+    extras = {}
+
+    # headline: FULL 15-target RGB-to-all chain at 4M-21 B
+    sps = bench_generation(jax, jnp, tok, "fm_base_12e_12d_swiglu_qknorm_nobias",
+                           batch=4, targets=list(DEFAULT_ORDER), label="4M-21 B full chain")
+
+    try:
+        ips, roofline = bench_vq_tokenize(jax, jnp)
+        extras["vq_tokenize_images_per_sec"] = round(ips, 1)
+        extras["vq_tokenize_roofline_frac"] = round(roofline, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"# vq tokenize bench failed: {e}")
+    try:
+        tsps, mfu = bench_train_step(jax, jnp)
+        extras["train_step_samples_per_sec"] = round(tsps, 1)
+        extras["train_mfu"] = round(mfu, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"# train bench failed: {e}")
+
+    if os.environ.get("BENCH_FULL"):
+        try:
+            sr = bench_generation(jax, jnp, tok, "fm_large_24e_24d_swiglu_nobias",
+                                  batch=1, targets=list(DEFAULT_ORDER_SR),
+                                  label="SR 448 chain (L)")
+            extras["sr448_samples_per_sec"] = round(sr, 3)
+        except Exception as e:
+            print(f"# SR bench failed: {e}")
+        try:
+            xl = bench_generation(jax, jnp, tok, "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
+                                  batch=1, targets=["tok_clip@224", "tok_rgb@224", "caption"],
+                                  label="4M-21 XL 3-target chain")
+            extras["xl_chain_samples_per_sec"] = round(xl, 3)
+        except Exception as e:
+            print(f"# XL bench failed: {e}")
 
     print(json.dumps({
-        "metric": "RGB-to-all chained generation samples/sec/chip (4M-21 B, 6-target "
-                  "representative chain, ROAR+AR, Pallas attention, bf16, worst-case EOS)",
-        "value": round(samples_per_sec_chip, 3),
+        "metric": "RGB-to-all chained generation samples/sec/chip (4M-21 B, FULL "
+                  "15-target Demo4MSampler chain, ROAR+KV-cached AR, Pallas "
+                  "attention, bf16, worst-case EOS)",
+        "value": round(sps, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
+        **extras,
     }))
-    print(f"# compile {compile_s:.0f}s, steady-state {dt / iters:.2f}s per {B}-image batch")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,12 @@ def get_parser():
     p.add_argument("--shard_id", type=int, default=0)
     p.add_argument("--skip_existing", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", default=None,
+                   help="teacher feature task: CLIP-B16, DINOv2-B14, "
+                        "DINOv2-B14-global (reference save_vq_tokens.py:188-196); "
+                        "default: tokenize raw pixels of --domain")
+    p.add_argument("--teacher_ckpt", default=None,
+                   help="teacher weights (.pth torch state dict or .safetensors)")
     return p
 
 
@@ -55,7 +61,8 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
                     input_size: int = 224, n_crops: int = 3,
                     crop_settings_dir: Optional[str] = None, batch_size: int = 16,
                     num_shards: int = 1, shard_id: int = 0,
-                    skip_existing: bool = True, seed: int = 0) -> int:
+                    skip_existing: bool = True, seed: int = 0,
+                    teacher=None) -> int:
     """Tokenize every sample of root/{domain}; returns number processed."""
     import jax
     import jax.numpy as jnp
@@ -66,6 +73,11 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
     transforms = {**divae_modality_transforms(), **{}}
     if domain not in transforms:
         transforms.update(default_modality_transforms())
+    key = domain.split("@")[0]
+    if key not in transforms:
+        # teacher-feature tasks (CLIP-B16, DINOv2-B14, ...) load plain RGB
+        # images; the teacher turns them into features (reference :270-287)
+        transforms[key] = transforms["rgb"]
     ds = MultiModalDatasetFolder(data_root, [domain], transforms)
     crop_settings_dir = crop_settings_dir or os.path.join(data_root, "crop_settings")
     os.makedirs(out_dir, exist_ok=True)
@@ -99,6 +111,10 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
                                   (input_size, input_size), rand_aug_idx=None)
             crops.append(t.postprocess(aug))
         x = jnp.asarray(np.stack(crops))
+        if teacher is not None:
+            # CLIP/DINOv2 feature pseudo-labeling (reference :270-287): the
+            # tokenizer consumes teacher FEATURE maps, not pixels
+            x = teacher(x)
         tokens = np.asarray(tokenize(variables, x)).astype(np.int16)
         tokens = tokens.reshape(tokens.shape[0], -1)  # (n_crops, Hq*Wq)
         np.save(out_path, tokens)
@@ -114,13 +130,24 @@ def main(args=None):
     from ..vq import VQ
 
     args = parse_args_with_config(get_parser(), args)
+    teacher = None
+    n_channels = 3
+    if args.task:
+        from ..vq.teachers import TEACHER_PRESETS, get_feature_extractor
+
+        teacher = get_feature_extractor(args.task, args.teacher_ckpt, args.input_size)
+        n_channels = TEACHER_PRESETS[args.task]["width"]
     # encoder-only tokenizer (reference get_image_tokenizer(encoder_only=True))
-    model = VQ(image_size=args.input_size)
+    model = VQ(image_size=args.input_size, n_channels=n_channels,
+               patch_proj=args.task is None)
     if args.ckpt_dir is None:
         raise SystemExit("--ckpt_dir with trained tokenizer weights is required")
     import jax.numpy as jnp
 
-    x0 = jnp.zeros((1, args.input_size, args.input_size, 3))
+    if teacher is not None:
+        x0 = teacher(jnp.zeros((1, args.input_size, args.input_size, 3)))
+    else:
+        x0 = jnp.zeros((1, args.input_size, args.input_size, 3))
     variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, x0)
     restored, step = auto_resume(args.ckpt_dir, {"params": variables["params"],
                                                  "codebook": variables["codebook"]})
@@ -133,7 +160,7 @@ def main(args=None):
         input_size=args.input_size, n_crops=args.n_crops,
         crop_settings_dir=args.crop_settings_dir, batch_size=args.batch_size,
         num_shards=args.num_shards, shard_id=args.shard_id,
-        skip_existing=args.skip_existing, seed=args.seed,
+        skip_existing=args.skip_existing, seed=args.seed, teacher=teacher,
     )
     print(f"tokenized {n} samples in {time.time() - t0:.1f}s")
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.modality_info import MODALITY_INFO
-from ..ops.sampling import NEG_INF, top_k_top_p_filtering
+from ..ops.sampling import NEG_INF, top_k_top_p_filtering, top_k_top_p_filtering_dynamic
 from ..utils.text_tokenizer import get_sentinel_to_id_mapping, merge_span_masking
 from .init_helpers import EOS_ID, PAD_ID, S1_ID
 
@@ -118,15 +118,15 @@ class GenerationSampler:
     # ------------------------------------------------------------- img steps
 
     def _img_step_fn(self, target_mod: str, scheme: str, cond_mods: Tuple[str, ...],
-                     use_cfg: bool, num_weights: int = 0):
+                     use_cfg: bool, num_weights: int = 0, use_filter: bool = False):
         """Build/cache the jitted MaskGIT/ROAR step for this configuration."""
-        key = ("img", target_mod, scheme, cond_mods, use_cfg, num_weights)
+        key = ("img", target_mod, scheme, cond_mods, use_cfg, num_weights, use_filter)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        model, top_k, top_p = self.model, self.top_k, self.top_p
+        model = self.model
 
-        def fn(variables, mod_dict, num_select, temperature, cfg_scale, rng):
+        def fn(variables, mod_dict, num_select, temperature, cfg_scale, top_k, top_p, rng):
             d_t = mod_dict[target_mod]
             B = d_t["tensor"].shape[0]
             still = ~d_t["target_mask"]  # True = still to decode
@@ -154,8 +154,8 @@ class GenerationSampler:
                 lc, lu = logits[:B], logits[B:]
                 logits = lu + cfg_scale * (lc - lu)
 
-            if top_k or top_p:
-                logits = top_k_top_p_filtering(logits, top_k, top_p)
+            if use_filter:
+                logits = top_k_top_p_filtering_dynamic(logits, top_k, top_p)
             samples, probs = _sample_traced_temp(rng_samp, logits, temperature)
             samples = samples.astype(d_t["tensor"].dtype)
 
@@ -175,15 +175,17 @@ class GenerationSampler:
         self._jit_cache[key] = jitted
         return jitted
 
-    def _multi_guided_img_step_fn(self, target_mod: str, scheme: str, n_conds: int):
+    def _multi_guided_img_step_fn(self, target_mod: str, scheme: str, n_conds: int,
+                                  use_filter: bool = False):
         """Multi-condition weighted guidance (generate.py:705-848):
         logits = l_uncond + sum_i w_i (l_cond_i - l_uncond)."""
-        key = ("img_multi", target_mod, scheme, n_conds)
+        key = ("img_multi", target_mod, scheme, n_conds, use_filter)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        model, top_k, top_p = self.model, self.top_k, self.top_p
+        model = self.model
 
-        def fn(variables, uncond_dict, cond_dicts, weights, num_select, temperature, rng):
+        def fn(variables, uncond_dict, cond_dicts, weights, num_select, temperature,
+               top_k, top_p, rng):
             d_t = uncond_dict[target_mod]
             B = d_t["tensor"].shape[0]
             still = ~d_t["target_mask"]
@@ -205,8 +207,8 @@ class GenerationSampler:
             for i in range(n_conds):
                 guided = guided + weights[i] * (logits[i * B : (i + 1) * B] - lu)
 
-            if top_k or top_p:
-                guided = top_k_top_p_filtering(guided, top_k, top_p)
+            if use_filter:
+                guided = top_k_top_p_filtering_dynamic(guided, top_k, top_p)
             samples, probs = _sample_traced_temp(rng_samp, guided, temperature)
             samples = samples.astype(d_t["tensor"].dtype)
             if scheme == "roar":
@@ -226,15 +228,15 @@ class GenerationSampler:
     # -------------------------------------------------------------- AR steps
 
     def _ar_step_fn(self, target_mod: str, cond_mods: Tuple[str, ...], use_cfg: bool,
-                    max_len: int):
+                    max_len: int, use_filter: bool = False):
         """KV-cached autoregressive decoding of a sequence modality."""
-        key = ("ar", target_mod, cond_mods, use_cfg, max_len)
+        key = ("ar", target_mod, cond_mods, use_cfg, max_len, use_filter)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        model, top_k, top_p = self.model, self.top_k, self.top_p
+        model = self.model
 
-        def fn(variables, mod_dict, temperature, cfg_scale, rng):
+        def fn(variables, mod_dict, temperature, cfg_scale, top_k, top_p, rng):
             d_t = mod_dict[target_mod]
             B = d_t["tensor"].shape[0]
 
@@ -290,8 +292,8 @@ class GenerationSampler:
                 if use_cfg:
                     lc, lu = logits[:B], logits[B:]
                     logits = lu + cfg_scale * (lc - lu)
-                if top_k or top_p:
-                    logits = top_k_top_p_filtering(logits, top_k, top_p)
+                if use_filter:
+                    logits = top_k_top_p_filtering_dynamic(logits, top_k, top_p)
                 sample, _ = _sample_traced_temp(rng_s, logits, temperature)
                 sample = sample.astype(jnp.int32)
                 sample = jnp.where(done, PAD_ID, sample)  # freeze finished rows
@@ -344,29 +346,39 @@ class GenerationSampler:
     # ------------------------------------------------------------- generate
 
     def generate(self, mod_dict, schedule: List[dict], rng=None, text_tokenizer=None,
-                 verbose: bool = False, seed: Optional[int] = None):
-        """Run a chained generation schedule (reference generate.py:1028-1095)."""
+                 verbose: bool = False, seed: Optional[int] = None,
+                 top_k: Optional[float] = None, top_p: Optional[float] = None):
+        """Run a chained generation schedule (reference generate.py:1028-1095).
+        top_k/top_p override the constructor defaults per call (reference
+        semantics) without recompiling — they are traced scalars."""
         if rng is None:
             rng = jax.random.key(seed if seed is not None else 0)
         mod_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
 
         for step_info in schedule:
             rng, rng_step = jax.random.split(rng)
-            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step, text_tokenizer)
+            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step,
+                                               text_tokenizer, top_k, top_p)
         return mod_dict
 
     def generate_iter(self, mod_dict, schedule, rng=None, text_tokenizer=None,
-                      seed: Optional[int] = None):
+                      seed: Optional[int] = None,
+                      top_k: Optional[float] = None, top_p: Optional[float] = None):
         """Step-by-step iterator variant (reference generate.py:1098-1166)."""
         if rng is None:
             rng = jax.random.key(seed if seed is not None else 0)
         mod_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
         for step_info in schedule:
             rng, rng_step = jax.random.split(rng)
-            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step, text_tokenizer)
+            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step,
+                                               text_tokenizer, top_k, top_p)
             yield mod_dict
 
-    def _generate_one_step(self, mod_dict, step_info, rng_step, text_tokenizer=None):
+    def _generate_one_step(self, mod_dict, step_info, rng_step, text_tokenizer=None,
+                           top_k: Optional[float] = None, top_p: Optional[float] = None):
+        top_k = self.top_k if top_k is None else top_k
+        top_p = self.top_p if top_p is None else top_p
+        use_filter = bool(top_k or top_p)
         target_mod = step_info["target_domain"]
         temp = float(step_info["temperature"])
         cfg_scale = step_info.get("cfg_scale", 1.0)
@@ -377,11 +389,12 @@ class GenerationSampler:
         if spec.type == "img":
             scheme = step_info["scheme"].lower()
             num_select = int(step_info["num_tokens"])
-            fn = self._img_step_fn(target_mod, scheme, conds if use_cfg else (), use_cfg)
+            fn = self._img_step_fn(target_mod, scheme, conds if use_cfg else (), use_cfg,
+                                   use_filter=use_filter)
             tensor, input_mask, target_mask = fn(
                 self.variables, mod_dict,
                 jnp.int32(num_select), jnp.float32(temp), jnp.float32(cfg_scale if use_cfg else 1.0),
-                rng_step,
+                jnp.float32(top_k), jnp.float32(top_p), rng_step,
             )
             d = dict(mod_dict[target_mod])
             d.update(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
@@ -390,10 +403,12 @@ class GenerationSampler:
             max_len = min(
                 spec.resolved_max_tokens(), int(mod_dict[target_mod]["tensor"].shape[1])
             )
-            fn = self._ar_step_fn(target_mod, conds if use_cfg else (), use_cfg, max_len)
+            fn = self._ar_step_fn(target_mod, conds if use_cfg else (), use_cfg, max_len,
+                                  use_filter=use_filter)
             out_ids, _length = fn(
                 self.variables, mod_dict, jnp.float32(temp),
-                jnp.float32(cfg_scale if use_cfg else 1.0), rng_step,
+                jnp.float32(cfg_scale if use_cfg else 1.0),
+                jnp.float32(top_k), jnp.float32(top_p), rng_step,
             )
             mod_dict = self.merge_sequences(
                 mod_dict, np.asarray(out_ids), target_mod, text_tokenizer
@@ -437,7 +452,9 @@ class GenerationSampler:
         return result
 
     def generate_multi_guided(self, uncond_dict, cond_dicts, schedule, rng=None,
-                              text_tokenizer=None, seed: Optional[int] = None):
+                              text_tokenizer=None, seed: Optional[int] = None,
+                              top_k: Optional[float] = None,
+                              top_p: Optional[float] = None):
         """Multi-condition weighted guidance over img targets
         (reference generate.py:1168-1227). cfg_scale in each step must be a list of
         per-condition weights."""
@@ -448,6 +465,9 @@ class GenerationSampler:
             {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in cd.items()} for cd in cond_dicts
         ]
         n = len(cond_dicts)
+        top_k = self.top_k if top_k is None else top_k
+        top_p = self.top_p if top_p is None else top_p
+        use_filter = bool(top_k or top_p)
         for step_info in schedule:
             rng, rng_step = jax.random.split(rng)
             target_mod = step_info["target_domain"]
@@ -456,11 +476,11 @@ class GenerationSampler:
                 raise ValueError("multi-guided generation currently supports img targets")
             scheme = step_info["scheme"].lower()
             weights = jnp.asarray(step_info["cfg_scale"], jnp.float32)
-            fn = self._multi_guided_img_step_fn(target_mod, scheme, n)
+            fn = self._multi_guided_img_step_fn(target_mod, scheme, n, use_filter=use_filter)
             tensor, input_mask, target_mask = fn(
                 self.variables, uncond_dict, tuple(cond_dicts), weights,
                 jnp.int32(step_info["num_tokens"]), jnp.float32(step_info["temperature"]),
-                rng_step,
+                jnp.float32(top_k), jnp.float32(top_p), rng_step,
             )
             upd = dict(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
             for dd in [uncond_dict] + cond_dicts:

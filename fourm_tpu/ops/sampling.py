@@ -46,6 +46,38 @@ def top_k_top_p_filtering(
     return logits
 
 
+def top_k_top_p_filtering_dynamic(
+    logits: jnp.ndarray, top_k: jnp.ndarray, top_p: jnp.ndarray
+) -> jnp.ndarray:
+    """Jit-traced variant: top_k/top_p are runtime scalars (0 = off), so one
+    compiled program serves every setting (the reference treats them per call,
+    generate.py:332-357; round-1 baked them into the jit cache)."""
+    logits = logits.astype(jnp.float32)
+    V = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    # top-k threshold: value at rank k-1 (float top_k < 1 means vocab fraction)
+    kf = jnp.where(top_k <= 0, V, jnp.where(top_k < 1.0, top_k * V, top_k))
+    k = jnp.clip(kf.astype(jnp.int32), 1, V)
+    idx = jnp.broadcast_to(k - 1, logits.shape[:-1])[..., None]
+    kth = jnp.take_along_axis(sorted_logits, idx, axis=-1)
+    kth = jnp.where(top_k > 0, kth, NEG_INF)
+    logits = jnp.where(logits < kth, NEG_INF, logits)
+    # top-p over the top-k-FILTERED distribution (sequential, matching the
+    # static path / reference generate.py:332-357). Mask the sorted tail the
+    # same way instead of re-sorting.
+    ranks = jnp.arange(V)
+    sorted_k = jnp.where(ranks < k[..., None] if k.ndim else ranks < k,
+                         sorted_logits, NEG_INF)
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_k, axis=-1), axis=-1)
+    exceeded = cum_probs > top_p
+    exceeded = jnp.concatenate(
+        [jnp.zeros_like(exceeded[..., :1]), exceeded[..., :-1]], axis=-1
+    )
+    min_kept = jnp.min(jnp.where(exceeded, jnp.inf, sorted_k), axis=-1, keepdims=True)
+    min_kept = jnp.where(top_p > 0, min_kept, NEG_INF)
+    return jnp.where(logits < min_kept, NEG_INF, logits)
+
+
 def sample_tokens(
     rng: jax.Array,
     logits: jnp.ndarray,

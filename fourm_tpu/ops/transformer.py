@@ -34,6 +34,30 @@ def gelu_exact(x):
 
 Dtype = jnp.dtype
 
+# --------------------------------------------------------- activation sharding
+# Tensor-parallel activation sharding hook. parallel.train installs a sharder
+# (parallel/mesh.py activation_sharder) while tracing a mesh'd step so that
+# attention heads and MLP hidden activations stay sharded over the 'tensor'
+# axis between the column- and row-parallel matmuls. No-op without a mesh.
+import contextvars as _contextvars
+
+_ACTIVATION_SHARDER = _contextvars.ContextVar("fourm_activation_sharder", default=None)
+
+
+def set_activation_sharder(sharder):
+    """Install (or clear with None) the activation sharder; returns a token
+    for reset()."""
+    return _ACTIVATION_SHARDER.set(sharder)
+
+
+def reset_activation_sharder(token):
+    _ACTIVATION_SHARDER.reset(token)
+
+
+def shard_activation(x, kind: str):
+    sharder = _ACTIVATION_SHARDER.get()
+    return sharder(x, kind) if sharder is not None else x
+
 # Large negative fill for masked logits; matches reference masked_fill(-finfo.max)
 # (fm_utils.py:168) while staying finite so fully-masked rows don't produce NaNs.
 MASK_FILL_VALUE = jnp.finfo(jnp.float32).min
@@ -155,7 +179,7 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
         x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
-        x = self.act(x)
+        x = shard_activation(self.act(x), "mlp_hidden")
         x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -179,7 +203,8 @@ class GatedMlp(nn.Module):
         hidden = int(2 * self.hidden_dim / 3)
         g = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
         u = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc3")(x)
-        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(self.act(g) * u)
+        h = shard_activation(self.act(g) * u, "mlp_hidden")
+        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(h)
         return x
 
 
@@ -210,7 +235,8 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B, H, N, Dh)
+        q, k, v = [shard_activation(jnp.moveaxis(qkv[:, :, i], 1, 2), "heads")
+                   for i in range(3)]  # (B, H, N, Dh)
         if self.qk_norm:
             q = self.q_norm(q)
             k = self.k_norm(k)
@@ -272,7 +298,8 @@ class CrossAttention(nn.Module):
         B, M, _ = context.shape
         head_dim = self.dim // self.num_heads
         kv = self.kv(context).reshape(B, M, 2, self.num_heads, head_dim)
-        k, v = [jnp.moveaxis(kv[:, :, i], 1, 2) for i in range(2)]
+        k, v = [shard_activation(jnp.moveaxis(kv[:, :, i], 1, 2), "heads")
+                for i in range(2)]
         if self.qk_norm:
             k = self.k_norm(k)
         return k, v
@@ -280,7 +307,8 @@ class CrossAttention(nn.Module):
     def project_q(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        q = jnp.moveaxis(self.q(x).reshape(B, N, self.num_heads, head_dim), 1, 2)
+        q = shard_activation(
+            jnp.moveaxis(self.q(x).reshape(B, N, self.num_heads, head_dim), 1, 2), "heads")
         if self.qk_norm:
             q = self.q_norm(q)
         return q

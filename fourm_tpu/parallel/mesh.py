@@ -117,6 +117,37 @@ def tensor_sharding_for(mesh: Mesh, path_str: str, x) -> NamedSharding:
     return fsdp_sharding_for(mesh, x)
 
 
+def activation_sharder(mesh: Mesh):
+    """Activation sharding constraints for tensor parallelism.
+
+    Returns shard(x, kind) applying `with_sharding_constraint`:
+      hidden      (B, N, D)     -> batch over (data, fsdp), D replicated
+      heads       (B, H, N, Dh) -> heads over 'tensor' (megatron attention)
+      mlp_hidden  (B, N, F)     -> hidden features over 'tensor' (column-
+                                   parallel fc1/fc3 output)
+    XLA then keeps the qkv/fc1 outputs sharded and inserts ONE all-reduce after
+    the row-parallel proj/fc2 matmuls instead of gathering activations.
+    """
+    batch_axes = ("data", "fsdp")
+
+    specs = {
+        "hidden": P(batch_axes),
+        "heads": P(batch_axes, "tensor"),
+        "mlp_hidden": P(batch_axes, None, "tensor"),
+    }
+
+    def shard(x, kind: str):
+        spec = specs[kind]
+        if kind in ("heads", "mlp_hidden"):
+            size = mesh.shape.get("tensor", 1)
+            axis = 1 if kind == "heads" else 2
+            if size == 1 or x.ndim <= axis or x.shape[axis] % size != 0:
+                spec = P(batch_axes)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return shard
+
+
 def model_shardings(mesh: Mesh, tree) -> object:
     """Full-model sharding rules: tensor-parallel where annotated, ZeRO fsdp
     elsewhere. Apply to params or whole TrainState shape trees."""

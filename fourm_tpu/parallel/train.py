@@ -153,9 +153,25 @@ def build_train_step(
 
     bsh = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(state_shardings, bsh, rep),
         out_shardings=(state_shardings, rep),
         donate_argnums=(0,) if donate else (),
     )
+    if mesh.shape.get("tensor", 1) > 1:
+        # install the tensor-parallel activation constraints while tracing
+        from ..ops.transformer import reset_activation_sharder, set_activation_sharder
+        from .mesh import activation_sharder
+
+        sharder = activation_sharder(mesh)
+
+        def wrapped(state, batch, rng):
+            token = set_activation_sharder(sharder)
+            try:
+                return jitted(state, batch, rng)
+            finally:
+                reset_activation_sharder(token)
+
+        return wrapped
+    return jitted

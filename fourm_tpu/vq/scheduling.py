@@ -300,26 +300,87 @@ def pndm_step(scheduler: DiffusionScheduler, eps: jnp.ndarray, t, prev_t,
     return prev, new_ets, n
 
 
+def _pndm_prev_sample(scheduler: DiffusionScheduler, sample, t, prev_t, eps):
+    """PNDM transfer formula (reference scheduling_pndm.py _get_prev_sample)."""
+    acp = jnp.asarray(scheduler.alphas_cumprod)
+    ndim = sample.ndim
+    a_t = _expand(jnp.take(acp, t), ndim)
+    # PNDM final alpha: set_alpha_to_one=False default -> alphas_cumprod[0]
+    # (reference scheduling_pndm.py:150-155)
+    a_prev = _expand(jnp.where(prev_t >= 0, jnp.take(acp, jnp.clip(prev_t, 0)), acp[0]), ndim)
+    b_t, b_prev = 1 - a_t, 1 - a_prev
+    sample_coeff = jnp.sqrt(a_prev / a_t)
+    denom = a_t * jnp.sqrt(b_prev) + jnp.sqrt(a_t * b_t * a_prev)
+    return sample_coeff * sample - (a_prev - a_t) * eps / denom
+
+
+def _to_epsilon(scheduler: DiffusionScheduler, pred, sample, t):
+    acp = jnp.asarray(scheduler.alphas_cumprod)
+    a_t = _expand(jnp.take(acp, t), sample.ndim)
+    if scheduler.prediction_type == "v_prediction":
+        return jnp.sqrt(a_t) * pred + jnp.sqrt(1 - a_t) * sample
+    if scheduler.prediction_type == "sample":
+        return (sample - jnp.sqrt(a_t) * pred) / jnp.sqrt(1 - a_t)
+    return pred
+
+
 def pndm_sample(model_fn, scheduler: DiffusionScheduler, rng: jax.Array,
                 cond: jnp.ndarray, sample_shape, timesteps: Optional[int] = None,
                 scheduler_timesteps_mode: str = "leading") -> jnp.ndarray:
-    """PLMS sampling loop as one lax.scan."""
+    """PLMS sampling loop as one lax.scan, with the crowsonkb first-step Heun
+    correction the reference uses via skip_prk_steps (the SD 1.5 scheduler
+    config; scheduling_pndm.py:210-222, :359-379): the second-highest timestep
+    is visited twice — first to complete a 2nd-order (Heun) version of step 0
+    from the saved pre-step sample, then as a regular PLMS step."""
+    import numpy as np_
+
     n_steps = timesteps or scheduler.num_train_timesteps
-    ts = spaced_timesteps(scheduler.num_train_timesteps, n_steps, scheduler_timesteps_mode)
-    prev_ts = ts - scheduler.num_train_timesteps // n_steps
+    delta = scheduler.num_train_timesteps // n_steps
+    base = np_.asarray(
+        spaced_timesteps(scheduler.num_train_timesteps, n_steps, scheduler_timesteps_mode)
+    )  # descending
+    if len(base) >= 2:
+        t_eval = np_.concatenate([base[:1], base[1:2], base[1:]])
+        t_upd = np_.concatenate([base[:1], base[:1], base[1:]])
+        is_heun = np_.zeros(len(t_eval), bool)
+        is_heun[1] = True
+        is_first = np_.zeros(len(t_eval), bool)
+        is_first[0] = True
+    else:
+        t_eval = t_upd = base
+        is_heun = np_.zeros(1, bool)
+        is_first = np_.ones(1, bool)
+    prev_upd = t_upd - delta
+
     rng, rng_init = jax.random.split(rng)
     image = jax.random.normal(rng_init, sample_shape, jnp.float32)
     ets0 = jnp.zeros((4,) + tuple(sample_shape), jnp.float32)
 
-    def body(carry, tprev):
-        image, ets, n_ets = carry
-        t, prev_t = tprev
-        eps = model_fn(image, t, cond)
-        image, ets, n_ets = pndm_step(scheduler, eps, t, prev_t, image, ets, n_ets)
-        return (image, ets, n_ets), None
+    def body(carry, xs):
+        x, cur, ets, n_ets = carry
+        t_e, t_u, p_u, first, heun = xs
+        eps = _to_epsilon(scheduler, model_fn(x, t_e, cond).astype(jnp.float32),
+                          x, t_e)
+        shifted = jnp.concatenate([eps[None], ets[:-1]], axis=0)
+        n1 = jnp.minimum(n_ets + 1, 4)
+        new_ets = jnp.where(heun, ets, shifted)
+        new_n = jnp.where(heun, n_ets, n1)
+        e0, e1, e2, e3 = new_ets[0], new_ets[1], new_ets[2], new_ets[3]
+        o_ab = jnp.where(
+            new_n == 1, e0,
+            jnp.where(new_n == 2, (3 * e0 - e1) / 2,
+                      jnp.where(new_n == 3, (23 * e0 - 16 * e1 + 5 * e2) / 12,
+                                (55 * e0 - 59 * e1 + 37 * e2 - 9 * e3) / 24)))
+        out = jnp.where(heun, (ets[0] + eps) / 2, o_ab)
+        base_sample = jnp.where(heun, cur, x)
+        prev = _pndm_prev_sample(scheduler, base_sample, t_u, p_u, out)
+        new_cur = jnp.where(first, x, cur)
+        return (prev, new_cur, new_ets, new_n), None
 
-    (image, _, _), _ = jax.lax.scan(
-        body, (image, ets0, jnp.int32(0)), (jnp.asarray(ts), jnp.asarray(prev_ts))
+    xs = (jnp.asarray(t_eval), jnp.asarray(t_upd), jnp.asarray(prev_upd),
+          jnp.asarray(is_first), jnp.asarray(is_heun))
+    (image, _, _, _), _ = jax.lax.scan(
+        body, (image, jnp.zeros_like(image), ets0, jnp.int32(0)), xs
     )
     return image
 

@@ -103,6 +103,91 @@ def install_reference_stubs():
     boto3.s3 = s3
 
 
+def _install_diffusers_stubs():
+    """Minimal diffusers API surface for the forked reference schedulers
+    (scheduling_pndm/ddpm/ddim.py): ConfigMixin + register_to_config that
+    record ctor kwargs on .config, SchedulerMixin/BaseOutput shells."""
+    import functools
+    import inspect
+
+    if "diffusers" in sys.modules:
+        return
+
+    class _FrozenDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    class ConfigMixin:
+        pass
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapper(self, *a, **k):
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *a, **k)
+            bound.apply_defaults()
+            cfg = {n: v for n, v in bound.arguments.items() if n != "self"}
+            self.config = _FrozenDict(cfg)
+            return init(self, *a, **k)
+
+        return wrapper
+
+    class SchedulerMixin:
+        pass
+
+    class BaseOutput(dict):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            for k, v in kw.items():
+                setattr(self, k, v)
+
+    class SchedulerOutput(BaseOutput):
+        pass
+
+    def randn_tensor(shape, generator=None, device=None, dtype=None):
+        import torch
+
+        return torch.randn(*shape, generator=generator, dtype=dtype)
+
+    diff = _mod("diffusers")
+    cu = _mod("diffusers.configuration_utils", ConfigMixin=ConfigMixin,
+              register_to_config=register_to_config)
+    du = _mod("diffusers.utils", BaseOutput=BaseOutput, randn_tensor=randn_tensor,
+              deprecate=lambda *a, **k: None)
+    su = _mod("diffusers.schedulers")
+    ssu = _mod("diffusers.schedulers.scheduling_utils",
+               SchedulerMixin=SchedulerMixin, SchedulerOutput=SchedulerOutput,
+               KarrasDiffusionSchedulers=[])
+    diff.configuration_utils = cu
+    diff.utils = du
+    su.scheduling_utils = ssu
+    diff.schedulers = su
+
+
+def import_reference_scheduler(name: str):
+    """Load a forked reference scheduler module standalone (bypasses
+    fourm.vq.__init__). name in {'pndm', 'ddpm', 'ddim'}."""
+    install_reference_stubs()
+    _install_diffusers_stubs()
+    import importlib.util
+
+    mod_name = f"_ref_scheduling_{name}"
+    if mod_name in sys.modules:
+        return sys.modules[mod_name]
+    # scheduling_utils fork is imported relatively by the scheduler forks? no —
+    # they are standalone files importing diffusers only.
+    spec = importlib.util.spec_from_file_location(
+        mod_name, f"{REFERENCE_ROOT}/fourm/vq/scheduling/scheduling_{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def import_reference_fm():
     """Import the reference FourM module. Returns the fourm.models.fm module."""
     install_reference_stubs()

@@ -345,3 +345,41 @@ class TestParallelLoading:
         it = pds.iter_shuffled(seed=0)
         samples = [next(it) for _ in range(8)]  # 2 epochs of 4
         assert all(isinstance(s["caption"], str) for s in samples)
+
+
+def test_save_vq_tokens_with_teacher(tmp_path):
+    """CLIP-teacher pre-tokenization path (reference save_vq_tokens.py:270-287):
+    features from the teacher ViT feed the feature tokenizer."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fourm_tpu.cli.save_vq_tokens import tokenize_folder
+    from fourm_tpu.vq import VQ
+    from fourm_tpu.vq.teachers import ViTTeacher
+
+    root = tmp_path / "data" / "CLIP-B16" / "cls"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(64, 48, 3) * 255).astype(np.uint8)).save(
+            root / f"img{i}.jpg")
+
+    teacher_model = ViTTeacher(image_size=32, patch_size=8, width=64, depth=1,
+                               num_heads=2, act_name="quick_gelu", pre_norm=True,
+                               patch_bias=False, output_dim=16)
+    tvars = teacher_model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    teacher = jax.jit(lambda x: teacher_model.apply(tvars, x))
+
+    model = VQ(image_size=32, patch_size=8, enc_type="vit_s_enc", codebook_size=32,
+               latent_dim=8, n_channels=16, patch_proj=False, image_size_enc=4)
+    feats0 = teacher(jnp.zeros((1, 32, 32, 3)))
+    variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, feats0)
+
+    out_dir = tmp_path / "tokens"
+    n = tokenize_folder(model, variables, str(tmp_path / "data"), "CLIP-B16",
+                        str(out_dir), input_size=32, n_crops=2, teacher=teacher)
+    assert n == 2
+    toks = np.load(next(out_dir.rglob("*.npy")))
+    assert toks.shape == (2, 16)  # 2 crops x 4x4 feature positions
+    assert toks.dtype == np.int16

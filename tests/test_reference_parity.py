@@ -196,3 +196,79 @@ def test_codebook_indices_exact_large_fp32_ties():
     variables["codebook"]["embed_avg"] = jnp.asarray(codebook)
     _, ind, _ = ours.apply(variables, jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(ind), t_ind.numpy())
+
+
+def test_pndm_sampling_matches_reference_scheduler():
+    """Full PLMS loop (incl. the skip_prk first-step Heun correction the SD
+    config uses) against the live reference PNDMScheduler (weak #6 round 1)."""
+    from _reference_stubs import import_reference_scheduler
+
+    from fourm_tpu.vq.scheduling import DiffusionScheduler, pndm_sample
+
+    sp = import_reference_scheduler("pndm")
+    sched_t = sp.PNDMScheduler(
+        num_train_timesteps=100, beta_schedule="scaled_linear",
+        beta_start=0.00085, beta_end=0.012, skip_prk_steps=True,
+        prediction_type="epsilon", enforce_zero_terminal_snr=False)
+    sched_t.set_timesteps(10, mode="leading")
+
+    def tmodel(x, t):
+        return 0.1 * x + float(t) / 100.0
+
+    x = torch.from_numpy(np.random.RandomState(0).randn(1, 3, 8, 8).astype(np.float32))
+    xt = x.clone()
+    for t in sched_t.timesteps:
+        xt = sched_t.step(tmodel(xt, t), int(t), xt).prev_sample
+
+    sched_j = DiffusionScheduler(
+        kind="ddim", num_train_timesteps=100, beta_schedule="scaled_linear",
+        beta_start=0.00085, beta_end=0.012, prediction_type="epsilon",
+        zero_terminal_snr=False, clip_sample=False, thresholding=False)
+
+    def jmodel_fn(xj, t, cond):
+        return 0.1 * xj + t.astype(jnp.float32) / 100.0
+
+    x0 = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    orig_normal = jax.random.normal
+    jax.random.normal = lambda rng, shape, dtype=jnp.float32: x0.astype(dtype)
+    try:
+        out = pndm_sample(jmodel_fn, sched_j, jax.random.key(0), None, x0.shape,
+                          timesteps=10)
+    finally:
+        jax.random.normal = orig_normal
+    out_t = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_t, xt.numpy(), atol=5e-6)
+
+
+def test_clip_teacher_matches_vendored_reference():
+    """ViTTeacher(CLIP-B16) vs the reference's vendored CLIP VisionTransformer,
+    same (random) weights -> same dense features (save_vq_tokens.py:270-276)."""
+    import importlib.util
+
+    from fourm_tpu.vq.teachers import TEACHER_PRESETS, ViTTeacher, import_clip_visual_state
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_clip_model", "/root/reference/fourm/utils/clip/model.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    # tiny CLIP geometry to keep the test fast
+    tvit = ref.VisionTransformer(input_resolution=32, patch_size=8, width=64,
+                                 layers=2, heads=2, output_dim=16)
+    tvit.eval()
+    state = {f"visual.{k}": v.detach().numpy() for k, v in tvit.state_dict().items()}
+
+    model = ViTTeacher(image_size=32, patch_size=8, width=64, depth=2, num_heads=2,
+                       act_name="quick_gelu", pre_norm=True, patch_bias=False,
+                       output_dim=16)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x0)
+    variables = import_clip_visual_state(state, variables)
+
+    x = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = tvit(torch.from_numpy(x), return_final_tokens_no_cls=True)
+    ref_feats = ref_feats.numpy().reshape(2, 4, 4, 16)
+    ours = np.asarray(model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(ours, ref_feats, atol=2e-5)
