@@ -136,7 +136,14 @@ def _tar_samples(path_or_file) -> Iterator[Dict[str, Any]]:
     """Group tar members by sample key: '000123.ext' or '000123.modality.ext'
     (webdataset convention). Uses the native C++ indexed reader for plain
     uncompressed tar paths (fourm_tpu/native), falling back to Python tarfile."""
-    if isinstance(path_or_file, str) and path_or_file.endswith(".tar"):
+    from ..utils.remote import is_remote, open_url
+
+    if isinstance(path_or_file, str) and is_remote(path_or_file):
+        # s3:// / http(s):// shard streaming (reference s3_utils.py:65-111
+        # monkey-patches webdataset's url opener; here the reader streams the
+        # object body through python tarfile directly)
+        path_or_file = open_url(path_or_file)
+    elif isinstance(path_or_file, str) and path_or_file.endswith(".tar"):
         try:
             from ..native import native_available, native_tar_samples
 

@@ -313,7 +313,17 @@ def fourm_config_from_metadata(cfg: Dict[str, Any]):
 
 
 def load_fourm_safetensors(path: str, config_override: Optional[Dict] = None):
-    """Load a released 4M safetensors checkpoint -> (FourMConfig, variables)."""
+    """Load a released 4M safetensors checkpoint -> (FourMConfig, variables).
+
+    `path` may also be a Hugging Face Hub id (e.g. "EPFL-VILAB/4M-21_B"): the
+    model.safetensors file is downloaded via huggingface_hub (the reference FM
+    wrapper inherits PyTorchModelHubMixin for the same purpose, fm.py:783-831).
+    Requires network access; local files need none.
+    """
+    if not os.path.exists(path) and not path.endswith(".safetensors") and "/" in path:
+        from huggingface_hub import hf_hub_download
+
+        path = hf_hub_download(repo_id=path, filename="model.safetensors")
     tensors, metadata = load_safetensors(path)
     cfg_dict = dict(metadata.get("config", {}))
     if config_override:

@@ -383,3 +383,48 @@ def test_save_vq_tokens_with_teacher(tmp_path):
     toks = np.load(next(out_dir.rglob("*.npy")))
     assert toks.shape == (2, 16)  # 2 crops x 4x4 feature positions
     assert toks.dtype == np.int16
+
+
+def test_remote_shard_streaming_over_http(tmp_path):
+    """http(s):// tar shard streaming through the reader (the s3:// path uses
+    the same open_url seam, gated on boto3 availability)."""
+    import http.server
+    import tarfile
+    import threading
+
+    from fourm_tpu.data.datasets import _tar_samples
+    from fourm_tpu.utils.remote import is_remote, split_s3_path
+
+    # build a tiny webdataset-style tar
+    tar_path = tmp_path / "000000.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        for key in ("a0", "a1"):
+            data = f"payload-{key}".encode()
+            info = tarfile.TarInfo(f"{key}.txt")
+            info.size = len(data)
+            import io as _io
+
+            tf.addfile(info, _io.BytesIO(data))
+
+    handler = type("H", (http.server.SimpleHTTPRequestHandler,), {
+        "directory": str(tmp_path),
+        "log_message": lambda self, *a: None,
+    })
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), 
+        lambda *a, **k: handler(*a, directory=str(tmp_path), **k))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/000000.tar"
+        samples = list(_tar_samples(url))
+        assert [s["__key__"] for s in samples] == ["a0", "a1"]
+        assert samples[0]["txt"] == b"payload-a0"
+    finally:
+        server.shutdown()
+
+    assert is_remote("s3://bucket/shard.tar")
+    assert split_s3_path("s3://bucket/a/b.tar") == ("bucket", "a/b.tar")
+    with pytest.raises(ImportError):
+        from fourm_tpu.utils.remote import open_url
+
+        open_url("s3://bucket/shard.tar")
