@@ -115,12 +115,37 @@ class GenerationSampler:
         self.top_p = top_p
         self._jit_cache: Dict = {}
 
+    def _encoder_budget(self, mod_dict) -> int | None:
+        """Host-computed static encoder-token budget for generation: the number
+        of VALID (unmasked) encoder tokens across the batch, rounded up to 256.
+        Compacting the 3024-token mod-21 stream to this bucket cuts encoder and
+        cross-attention cost ~stream/budget with identical logits (all valid
+        tokens are kept; see FourM.forward_generation_img). Returns None when
+        compaction wouldn't help (budget >= stream length)."""
+        enc_mods = getattr(self.model.config, "encoder_modalities", ())
+        total = 0
+        n_valid = None
+        for mod in enc_mods:
+            if mod not in mod_dict:
+                continue
+            m = np.asarray(mod_dict[mod]["input_mask"])
+            total += m.shape[1]
+            v = (~m).sum(axis=1)
+            n_valid = v if n_valid is None else n_valid + v
+        if n_valid is None or total == 0:
+            return None
+        need = max(int(n_valid.max()), 1)
+        bucket = min(-(-need // 256) * 256, total)
+        return None if bucket >= total else bucket
+
     # ------------------------------------------------------------- img steps
 
     def _img_step_fn(self, target_mod: str, scheme: str, cond_mods: Tuple[str, ...],
-                     use_cfg: bool, num_weights: int = 0, use_filter: bool = False):
+                     use_cfg: bool, num_weights: int = 0, use_filter: bool = False,
+                     enc_budget=None):
         """Build/cache the jitted MaskGIT/ROAR step for this configuration."""
-        key = ("img", target_mod, scheme, cond_mods, use_cfg, num_weights, use_filter)
+        key = ("img", target_mod, scheme, cond_mods, use_cfg, num_weights, use_filter,
+               enc_budget)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -148,7 +173,8 @@ class GenerationSampler:
                 md, sa = mod_dict, sa_valid
 
             logits = model.apply(
-                variables, md, target_mod, sa, method="forward_generation_img"
+                variables, md, target_mod, sa, enc_budget,
+                method="forward_generation_img",
             ).astype(jnp.float32)
             if use_cfg:
                 lc, lu = logits[:B], logits[B:]
@@ -228,9 +254,9 @@ class GenerationSampler:
     # -------------------------------------------------------------- AR steps
 
     def _ar_step_fn(self, target_mod: str, cond_mods: Tuple[str, ...], use_cfg: bool,
-                    max_len: int, use_filter: bool = False):
+                    max_len: int, use_filter: bool = False, enc_budget=None):
         """KV-cached autoregressive decoding of a sequence modality."""
-        key = ("ar", target_mod, cond_mods, use_cfg, max_len, use_filter)
+        key = ("ar", target_mod, cond_mods, use_cfg, max_len, use_filter, enc_budget)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -259,7 +285,7 @@ class GenerationSampler:
             Bf = (2 if use_cfg else 1) * B
 
             cross_kvs, enc_mask, y_emb = model.apply(
-                variables, md, target_mod, max_len, method="ar_prefill"
+                variables, md, target_mod, max_len, enc_budget, method="ar_prefill"
             )
             caches = model.apply(
                 variables, Bf, max_len, method="init_kv_caches"
@@ -390,7 +416,8 @@ class GenerationSampler:
             scheme = step_info["scheme"].lower()
             num_select = int(step_info["num_tokens"])
             fn = self._img_step_fn(target_mod, scheme, conds if use_cfg else (), use_cfg,
-                                   use_filter=use_filter)
+                                   use_filter=use_filter,
+                                   enc_budget=self._encoder_budget(mod_dict))
             tensor, input_mask, target_mask = fn(
                 self.variables, mod_dict,
                 jnp.int32(num_select), jnp.float32(temp), jnp.float32(cfg_scale if use_cfg else 1.0),
@@ -404,7 +431,8 @@ class GenerationSampler:
                 spec.resolved_max_tokens(), int(mod_dict[target_mod]["tensor"].shape[1])
             )
             fn = self._ar_step_fn(target_mod, conds if use_cfg else (), use_cfg, max_len,
-                                  use_filter=use_filter)
+                                  use_filter=use_filter,
+                                  enc_budget=self._encoder_budget(mod_dict))
             out_ids, _length = fn(
                 self.variables, mod_dict, jnp.float32(temp),
                 jnp.float32(cfg_scale if use_cfg else 1.0),

@@ -395,7 +395,8 @@ class FourM(nn.Module):
 
     # ------------------------------------------------ generation forwards
 
-    def forward_generation_img(self, mod_dict, target_mod: str, sa_keys_valid):
+    def forward_generation_img(self, mod_dict, target_mod: str, sa_keys_valid,
+                               num_encoder_tokens: Optional[int] = None):
         """Generation forward for an img-type target modality over its FULL token
         grid (fixed shape). Equivalent to reference forward_enc_dec_maskgit/
         roar_batched (generate.py:628-765), which gather only the currently-masked
@@ -404,9 +405,16 @@ class FourM(nn.Module):
         i.e. still-to-decode for MaskGIT, this step's random subset for ROAR) —
         logits at valid positions are bitwise-equivalent to the gathered version.
 
+        num_encoder_tokens: optional static budget compacting the encoder stream
+        to the first K selected (valid-first) tokens — the sampler passes a
+        host-computed bucket ≥ the number of valid conditioning tokens, cutting
+        encoder+cross-attention cost ~6x for mod-21 chains (the full stream is
+        3024 tokens while typical conditioning is a few hundred). Selection keeps
+        every valid token, so logits are unchanged.
+
         Returns logits (B, N_grid, V).
         """
-        enc_out, enc_emb, enc_mask, _ = self.encode(mod_dict, None)
+        enc_out, enc_emb, enc_mask, _ = self.encode(mod_dict, num_encoder_tokens)
         context = self.decoder_context(enc_out, enc_emb)
         d = mod_dict[target_mod]
         dtype = self.config.compute_dtype
@@ -417,10 +425,13 @@ class FourM(nn.Module):
         y = self.forward_decoder(y, context, enc_mask, sa_mask)
         return self.mod_logits(target_mod, y)
 
-    def ar_prefill(self, mod_dict, target_mod: str, max_len: int):
+    def ar_prefill(self, mod_dict, target_mod: str, max_len: int,
+                   num_encoder_tokens: Optional[int] = None):
         """Encoder pass + per-layer cross-attention K/V + target position embeddings
-        for KV-cached AR decoding. Returns (cross_kvs, enc_mask, y_emb (B, L, D))."""
-        enc_out, enc_emb, enc_mask, _ = self.encode(mod_dict, None)
+        for KV-cached AR decoding. Returns (cross_kvs, enc_mask, y_emb (B, L, D)).
+        num_encoder_tokens: see forward_generation_img — compacts the context the
+        per-token cross-attention reads EVERY decode step."""
+        enc_out, enc_emb, enc_mask, _ = self.encode(mod_dict, num_encoder_tokens)
         context = self.decoder_context(enc_out, enc_emb)
         cross_kvs = self.decoder_cross_kvs(context)
         dtype = self.config.compute_dtype

@@ -483,6 +483,10 @@ class UViT(nn.Module):
 
 # Presets (reference uvit.py:976-1104)
 UVIT_PRESETS = {
+    # test/debug-scale preset (fourm_tpu addition, no reference equivalent)
+    "uvit_t_p4_f16": dict(patch_size=4, block_out_channels=(32, 64),
+                          layers_per_block=1, downsample_before_mid=True,
+                          mid_layers=2, mid_num_heads=2, mid_dim=64),
     "uvit_b_p4_f16": dict(patch_size=4, block_out_channels=(128, 256), layers_per_block=2,
                           downsample_before_mid=True, mid_layers=12, mid_num_heads=12, mid_dim=768),
     "uvit_l_p4_f16": dict(patch_size=4, block_out_channels=(128, 256), layers_per_block=2,

@@ -187,6 +187,8 @@ class ViTDecoder(nn.Module):
 
 # Size presets (reference vit_models.py:664-861)
 VIT_SIZES = {
+    # vit_t is a fourm_tpu addition for tests/debug runs (no reference preset)
+    "vit_t": dict(dim_tokens=64, depth=2, num_heads=2),
     "vit_s": dict(dim_tokens=512, depth=8, num_heads=8),
     "vit_b": dict(dim_tokens=768, depth=12, num_heads=12),
     "vit_l": dict(dim_tokens=1024, depth=24, num_heads=16),

@@ -63,6 +63,7 @@ class TestFourMSampler:
             "fm_tiny_6e_6d_gelu",
             encoder_modalities=mods,
             decoder_modalities=("tok_depth@224", "caption"),
+            dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
         )
         model = FourM(cfg)
         batch = jax.tree.map(jnp.asarray, synthetic_mod_batch(mods, 1, 32, 32))
@@ -87,6 +88,7 @@ class TestFourMSampler:
         cfg = create_fourm_config(
             "fm_tiny_6e_6d_gelu", encoder_modalities=mods,
             decoder_modalities=("tok_depth@224", "caption"),
+            dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
         )
         model = FourM(cfg)
         sampler = FourMSampler(fm=(model, {}), text_tokenizer=text_tokenizer)
@@ -108,10 +110,12 @@ class TestSuperResolution:
         cfg = create_fourm_config(
             "fm_tiny_6e_6d_gelu", encoder_modalities=base_mods,
             decoder_modalities=("tok_rgb@224", "caption"),
+            dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
         )
         cfg_sr = create_fourm_config(
             "fm_tiny_6e_6d_gelu", encoder_modalities=sr_mods,
             decoder_modalities=("tok_rgb@448",),
+            dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
         )
         model, model_sr = FourM(cfg), FourM(cfg_sr)
         batch = jax.tree.map(jnp.asarray, synthetic_mod_batch(base_mods, 1, 32, 32))
@@ -142,8 +146,8 @@ class TestDecodeWithTokenizer:
         from fourm_tpu.utils.decoding import TokenizerBundle, decode_dict
         from fourm_tpu.vq import VQVAE
 
-        vq = VQVAE(image_size=224, patch_size=16, enc_type="vit_s_enc",
-                   dec_type="vit_s_dec", codebook_size=16384, latent_dim=8)
+        vq = VQVAE(image_size=224, patch_size=16, enc_type="vit_t_enc",
+                   dec_type="vit_t_dec", codebook_size=16384, latent_dim=8)
         x0 = jnp.zeros((1, 224, 224, 3))
         vq_vars = vq.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, x0)
         bundle = TokenizerBundle(vq, vq_vars)

@@ -127,7 +127,7 @@ class TestVQStateDictRoundTrip:
         from fourm_tpu.vq import VQVAE
         from fourm_tpu.utils.checkpoint import export_vq_torch_state, import_vq_state_dict
 
-        m = VQVAE(image_size=32, patch_size=4, enc_type="vit_s_enc", dec_type="vit_s_dec",
+        m = VQVAE(image_size=32, patch_size=4, enc_type="vit_t_enc", dec_type="vit_t_dec",
                   codebook_size=64, latent_dim=8)
         x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32))
         v = m.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, x)
@@ -147,7 +147,7 @@ class TestVQStateDictRoundTrip:
         from fourm_tpu.vq import DiVAE
         from fourm_tpu.utils.checkpoint import export_vq_torch_state, import_vq_state_dict
 
-        m = DiVAE(image_size=32, patch_size=4, enc_type="vit_s_enc",
+        m = DiVAE(image_size=32, patch_size=4, enc_type="vit_t_enc",
                   dec_type="uvit_b_p4_f16", codebook_size=64, latent_dim=8,
                   num_train_timesteps=10)
         rng = np.random.RandomState(0)

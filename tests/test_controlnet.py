@@ -16,7 +16,7 @@ from fourm_tpu.vq import (
 )
 
 TINY = dict(
-    image_size=32, patch_size=4, enc_type="vit_s_enc", codebook_size=64,
+    image_size=32, patch_size=4, enc_type="vit_t_enc", codebook_size=64,
     latent_dim=8, model_channels=32, channel_mult=(1, 2), attention_levels=(1,),
     num_heads=2, context_len=4, context_dim=16, vae_base_channels=32,
     vae_ch_mult=(1, 2),
@@ -144,7 +144,7 @@ def test_train_vqcontrolnet_cli_smoke(tmp_path):
 
     main([
         "--synthetic_data", "--input_size", "32", "--patch_size", "4",
-        "--enc_type", "vit_s_enc", "--codebook_size", "64", "--latent_dim", "8",
+        "--enc_type", "vit_t_enc", "--codebook_size", "64", "--latent_dim", "8",
         "--model_channels", "32", "--channel_mult", "1", "2",
         "--attention_levels", "1", "--num_heads", "2", "--context_len", "4",
         "--context_dim", "16", "--vae_base_channels", "32",

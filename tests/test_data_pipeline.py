@@ -371,7 +371,7 @@ def test_save_vq_tokens_with_teacher(tmp_path):
     tvars = teacher_model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     teacher = jax.jit(lambda x: teacher_model.apply(tvars, x))
 
-    model = VQ(image_size=32, patch_size=8, enc_type="vit_s_enc", codebook_size=32,
+    model = VQ(image_size=32, patch_size=8, enc_type="vit_t_enc", codebook_size=32,
                latent_dim=8, n_channels=16, patch_proj=False, image_size_enc=4)
     feats0 = teacher(jnp.zeros((1, 32, 32, 3)))
     variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)}, feats0)

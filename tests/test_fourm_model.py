@@ -50,6 +50,7 @@ def tiny_model():
         "fm_tiny_6e_6d_gelu",
         encoder_modalities=("tok_rgb@224", "caption"),
         decoder_modalities=("tok_rgb@224", "caption"),
+        dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
     )
     model = FourM(cfg)
     mod_dict = make_mod_dict(np.random.RandomState(0))
@@ -128,7 +129,7 @@ def test_generation_path_full_stream(tiny_model):
     enc_out, enc_emb, enc_mask, modid = model.apply(
         params, mod_dict, method="encode"
     )
-    assert enc_out.shape == (B, RGB_TOKENS + CAP_LEN, 384)
+    assert enc_out.shape == (B, RGB_TOKENS + CAP_LEN, 128)
     assert enc_mask.shape == (B, RGB_TOKENS + CAP_LEN)
 
 

@@ -15,24 +15,31 @@ MODS = "tok_rgb@224-caption"
 
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory):
-    from fourm_tpu.cli.train_4m import main
+    """A train_4m-shaped output dir (config.json + weights/step_N), built
+    directly — the CLI writing this layout is covered end-to-end in
+    test_train_features; here we only need generate.load_fm's input."""
+    import dataclasses
+    import json
 
-    out = tmp_path_factory.mktemp("gen") / "run"
-    main([
-        "--model", "fm_tiny_6e_6d_gelu", "--dim", "64", "--encoder_depth", "2",
-        "--decoder_depth", "2", "--num_heads", "2",
-        "--in_domains", MODS, "--out_domains", MODS,
-        "--synthetic_data", "--batch_size", "2", "--num_input_tokens", "32",
-        "--num_target_tokens", "32", "--total_tokens", "0.0001",
-        "--warmup_tokens", "0.00001", "--epoch_size", "8", "--max_steps", "2",
-        "--eval_freq", "1000", "--save_ckpt_freq", "1",
-        "--output_dir", str(out), "--run_name", "r", "--dtype", "float32",
-        "--print_freq", "1",
-    ])
-    run_dir = str(out / "r")
-    assert os.path.exists(os.path.join(run_dir, "config.json"))
-    assert os.listdir(os.path.join(run_dir, "weights"))
-    return run_dir
+    from fourm_tpu.models import FourM, create_fourm_config
+    from fourm_tpu.utils.checkpoint import save_checkpoint
+    from fourm_tpu.utils.synthetic import synthetic_mod_batch
+
+    run_dir = tmp_path_factory.mktemp("gen") / "run" / "r"
+    os.makedirs(run_dir)
+    cfg = create_fourm_config(
+        "fm_tiny_6e_6d_gelu", tuple(sorted(MODS.split("-"))),
+        tuple(sorted(MODS.split("-"))), dim=64, encoder_depth=2,
+        decoder_depth=2, num_heads=2, dtype="float32",
+    )
+    model = FourM(cfg)
+    batch = jax.tree.map(
+        jnp.asarray, synthetic_mod_batch(tuple(sorted(MODS.split("-"))), 1, 32, 32))
+    params = model.init(jax.random.key(0), batch, 32, 32)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+    save_checkpoint(str(run_dir / "weights"), params, 1)
+    return str(run_dir)
 
 
 @pytest.fixture(scope="module")
@@ -41,8 +48,8 @@ def vq_safetensors(tmp_path_factory):
     from fourm_tpu.utils.checkpoint import export_vq_safetensors
     from fourm_tpu.vq import VQVAE
 
-    cfg = dict(image_size=224, patch_size=16, enc_type="vit_s_enc",
-               dec_type="vit_s_dec", codebook_size=16384, latent_dim=8,
+    cfg = dict(image_size=224, patch_size=16, enc_type="vit_t_enc",
+               dec_type="vit_t_dec", codebook_size=16384, latent_dim=8,
                domain="rgb")
     model = VQVAE(**{k: v for k, v in cfg.items() if k != "domain"})
     x = jnp.zeros((1, 224, 224, 3))

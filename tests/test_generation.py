@@ -95,6 +95,7 @@ def tiny_gen():
         "fm_tiny_6e_6d_gelu",
         encoder_modalities=("tok_rgb@224", "caption"),
         decoder_modalities=("tok_rgb@224", "caption"),
+        dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
     )
     model = FourM(cfg)
     # init params with a tiny synthetic batch
@@ -370,3 +371,53 @@ class TestPerCallTopKTopP:
         t2 = np.asarray(out2["tok_rgb@224"]["tensor"])
         t3 = np.asarray(out3["tok_rgb@224"]["tensor"])
         assert not np.array_equal(t2, t3), "top_k change had no effect"
+
+
+class TestEncoderCompaction:
+    """Generation-time encoder compaction (host-bucketed num_encoder_tokens):
+    all valid tokens are kept, so logits must be IDENTICAL to the full-stream
+    forward while encoder/cross-attention cost drops ~stream/bucket."""
+
+    def test_compact_logits_equal_full(self, tiny_gen):
+        import numpy as np
+
+        model, params = tiny_gen
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        mod_dict = jax.tree.map(jnp.asarray, mod_dict)
+        sa_valid = jnp.asarray(~np.asarray(mod_dict["tok_rgb@224"]["target_mask"]))
+        full = model.apply(params, mod_dict, "tok_rgb@224", sa_valid, None,
+                           method="forward_generation_img")
+        # caption stream is (64+1... actually L) + 196 img slots; 256-bucket
+        compact = model.apply(params, mod_dict, "tok_rgb@224", sa_valid, 256,
+                              method="forward_generation_img")
+        np.testing.assert_allclose(np.asarray(compact), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_budget_computed_from_masks(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        budget = sampler._encoder_budget(mod_dict)
+        # 6 valid caption tokens -> bucket 256, stream = L_cap + 196 > 256
+        assert budget == 256
+
+    def test_generate_with_compaction_runs(self, tiny_gen):
+        import numpy as np
+
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        schedule = build_chained_generation_schedules(
+            cond_domains=["caption"], target_domains=["tok_rgb@224"],
+            tokens_per_target=[196], autoregression_schemes=["roar"],
+            decoding_steps=[2], token_decoding_schedules=["linear"],
+            temps=[1.0], temp_schedules=["constant"],
+            cfg_scales=[2.0], cfg_schedules=["constant"],
+        )
+        out = sampler.generate(mod_dict, schedule, seed=0)
+        # fully decoded: nothing left to decode, all grid tokens became inputs
+        assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()
+        assert not np.asarray(out["tok_rgb@224"]["input_mask"]).any()

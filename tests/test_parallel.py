@@ -53,6 +53,7 @@ def tiny_setup():
         "fm_tiny_6e_6d_gelu",
         encoder_modalities=("tok_rgb@224", "caption"),
         decoder_modalities=("tok_rgb@224", "caption"),
+        dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
     )
     return FourM(cfg)
 

@@ -134,7 +134,7 @@ def test_vqvae_cli_with_lpips_smoke(tmp_path):
 
     main([
         "--synthetic_data", "--input_size", "32", "--patch_size", "4",
-        "--enc_type", "vit_s_enc", "--dec_type", "vit_s_dec",
+        "--enc_type", "vit_t_enc", "--dec_type", "vit_t_dec",
         "--codebook_size", "64", "--latent_dim", "8", "--batch_size", "2",
         "--total_steps", "2", "--warmup_steps", "1", "--eval_freq", "2",
         "--print_freq", "1", "--dtype", "float32",

@@ -167,7 +167,7 @@ class TestSchedulers:
 @pytest.fixture(scope="module")
 def tiny_vqvae():
     model = VQVAE(
-        image_size=32, patch_size=4, enc_type="vit_s_enc", dec_type="vit_s_dec",
+        image_size=32, patch_size=4, enc_type="vit_t_enc", dec_type="vit_t_dec",
         codebook_size=128, latent_dim=8, norm_codes=True,
     )
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
@@ -201,7 +201,7 @@ class TestVQVAE:
         # threshold for the first ~30 steps and gets resampled each step (reference
         # behaves identically), which makes a 20-step loss-decrease check flaky
         model = VQVAE(
-            image_size=32, patch_size=4, enc_type="vit_s_enc", dec_type="vit_s_dec",
+            image_size=32, patch_size=4, enc_type="vit_t_enc", dec_type="vit_t_dec",
             codebook_size=128, latent_dim=8, norm_codes=True,
             threshold_ema_dead_code=0.0, ema_decay=0.8,
         )
@@ -236,8 +236,8 @@ class TestVQVAE:
 class TestDiVAE:
     def test_forward_and_decode(self):
         model = DiVAE(
-            image_size=32, patch_size=4, enc_type="vit_s_enc",
-            dec_type="uvit_b_p4_f16", codebook_size=64, latent_dim=8,
+            image_size=32, patch_size=4, enc_type="vit_t_enc",
+            dec_type="uvit_t_p4_f16", codebook_size=64, latent_dim=8,
             num_train_timesteps=20, cls_free_guidance_dropout=0.1, masked_cfg=True,
         )
         rng = np.random.RandomState(0)
@@ -263,8 +263,8 @@ class TestDiVAE:
 
     def test_cfg_decode(self):
         model = DiVAE(
-            image_size=32, patch_size=4, enc_type="vit_s_enc",
-            dec_type="uvit_b_p4_f16", codebook_size=64, latent_dim=8,
+            image_size=32, patch_size=4, enc_type="vit_t_enc",
+            dec_type="uvit_t_p4_f16", codebook_size=64, latent_dim=8,
             num_train_timesteps=10,
         )
         rng = np.random.RandomState(0)
@@ -349,7 +349,7 @@ class TestPatchedUNet:
         from fourm_tpu.vq import DiVAE, divae_decode_tokens
 
         model = DiVAE(
-            image_size=32, patch_size=4, enc_type="vit_s_enc", dec_type="unet_patched",
+            image_size=32, patch_size=4, enc_type="vit_t_enc", dec_type="unet_patched",
             codebook_size=64, latent_dim=8, num_train_timesteps=10,
             prediction_type="sample", beta_schedule="linear",
         )
