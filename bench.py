@@ -45,7 +45,8 @@ def build_text_tokenizer():
     )
 
 
-def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label: str):
+def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label: str,
+                     conds=("rgb@224",)):
     from fourm_tpu.api import FourMSampler
     from fourm_tpu.models import FourM, create_fourm_config
     from fourm_tpu.ops.transformer import use_pallas_attention
@@ -55,23 +56,36 @@ def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label:
         synthetic_mod_batch,
     )
 
+    enc_mods = tuple(MOD21_MODALITIES) + tuple(
+        t for t in targets if t not in MOD21_MODALITIES)
+    dec_mods = tuple(MOD21_DECODER_MODALITIES) + tuple(
+        t for t in targets if t not in MOD21_DECODER_MODALITIES)
     cfg = create_fourm_config(
         model_name,
-        encoder_modalities=MOD21_MODALITIES,
-        decoder_modalities=MOD21_DECODER_MODALITIES,
+        encoder_modalities=enc_mods,
+        decoder_modalities=dec_mods,
         dtype="bfloat16",
     )
     model = FourM(cfg)
     init_batch = jax.tree.map(
-        jnp.asarray, synthetic_mod_batch(MOD21_MODALITIES, 1, 64, 64, seed=0)
+        jnp.asarray, synthetic_mod_batch(enc_mods, 1, 64, 64, seed=0)
     )
     params = model.init(jax.random.key(0), init_batch, 64, 64)
     sampler = FourMSampler(fm=(model, params), text_tokenizer=tok)
 
     rng = np.random.RandomState(0)
-    sample = {"rgb@224": rng.rand(batch, 224, 224, 3).astype(np.float32)}
-    mod_dict = sampler.prepare_sample(sample, ["rgb@224"], targets, batch_size=batch)
-    schedule = sampler.build_schedule(["rgb@224"], targets)
+    sample = {}
+    for c in conds:
+        from fourm_tpu.data.modality_info import MODALITY_INFO
+
+        spec = MODALITY_INFO[c]
+        if spec.type == "img" and spec.encoder_embedding == "image":
+            sample[c] = rng.rand(batch, spec.input_size, spec.input_size, 3).astype(np.float32)
+        else:
+            sample[c] = rng.randint(0, spec.vocab_size,
+                                    (batch, spec.resolved_max_tokens())).astype(np.int32)
+    mod_dict = sampler.prepare_sample(sample, list(conds), targets, batch_size=batch)
+    schedule = sampler.build_schedule(list(conds), targets)
 
     def run(seed):
         with use_pallas_attention():
@@ -196,10 +210,14 @@ def main():
     extras = {}
 
     # headline: FULL RGB-to-all chain at 4M-21 B — all 14 non-RGB targets of
-    # the Demo4MSampler default order (tok_rgb is the conditioning here)
+    # the Demo4MSampler default order (tok_rgb is the conditioning here).
+    # Throughput metric: generation is AR-latency bound, so a larger batch
+    # amortizes per-token latency (BENCH_BS overrides; default 16/chip).
+    batch = int(os.environ.get("BENCH_BS", 16))
     targets = [t for t in DEFAULT_ORDER if t != "tok_rgb@224"]
     sps = bench_generation(jax, jnp, tok, "fm_base_12e_12d_swiglu_qknorm_nobias",
-                           batch=4, targets=targets, label="4M-21 B full 14-target chain")
+                           batch=batch, targets=targets,
+                           label=f"4M-21 B full 14-target chain (B={batch})")
 
     try:
         ips, roofline = bench_vq_tokenize(jax, jnp)
@@ -217,14 +235,15 @@ def main():
     if os.environ.get("BENCH_FULL"):
         try:
             sr = bench_generation(jax, jnp, tok, "fm_large_24e_24d_swiglu_nobias",
-                                  batch=1, targets=list(DEFAULT_ORDER_SR),
-                                  label="SR 448 chain (L)")
+                                  batch=4, targets=list(DEFAULT_ORDER_SR),
+                                  label="SR 448 chain (L)",
+                                  conds=("rgb@224", "tok_rgb@224"))
             extras["sr448_samples_per_sec"] = round(sr, 3)
         except Exception as e:
             print(f"# SR bench failed: {e}")
         try:
             xl = bench_generation(jax, jnp, tok, "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
-                                  batch=1, targets=["tok_clip@224", "tok_rgb@224", "caption"],
+                                  batch=4, targets=["tok_clip@224", "tok_semseg@224", "caption"],
                                   label="4M-21 XL 3-target chain")
             extras["xl_chain_samples_per_sec"] = round(xl, 3)
         except Exception as e:

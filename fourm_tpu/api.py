@@ -61,6 +61,12 @@ DEFAULTS_RGB2X = _expand_defaults({
         "token_decoding_schedule": "linear", "temp": 0.01, "temp_schedule": "constant",
         "cfg_scale": 2.0, "cfg_schedule": "constant",
     },
+    # global-embedding tokens (retrieval, reference notebooks/retrieval_4M-21)
+    "tok_dinov2_global/tok_imagebind_global": {
+        "tokens_per_target": 16, "autoregression_scheme": "roar", "decoding_steps": 1,
+        "token_decoding_schedule": "linear", "temp": 0.01, "temp_schedule": "constant",
+        "cfg_scale": 2.0, "cfg_schedule": "constant",
+    },
     "caption/det": {
         "tokens_per_target": 256, "autoregression_scheme": "autoregressive",
         "decoding_steps": None, "token_decoding_schedule": None, "temp": 0.3,
@@ -96,6 +102,11 @@ DEFAULTS_X2RGB = _expand_defaults({
     },
     "tok_dinov2@224/tok_imagebind@224": {
         "tokens_per_target": 256, "autoregression_scheme": "roar", "decoding_steps": 8,
+        "token_decoding_schedule": "linear", "temp": 0.01, "temp_schedule": "constant",
+        "cfg_scale": 2.0, "cfg_schedule": "constant",
+    },
+    "tok_dinov2_global/tok_imagebind_global": {
+        "tokens_per_target": 16, "autoregression_scheme": "roar", "decoding_steps": 1,
         "token_decoding_schedule": "linear", "temp": 0.01, "temp_schedule": "constant",
         "cfg_scale": 2.0, "cfg_schedule": "constant",
     },
@@ -179,7 +190,10 @@ class FourMSampler:
     # ------------------------------------------------------------- schedules
 
     def _ordered_targets(self, target_domains, order):
-        return [m for m in order if m in target_domains]
+        """Stable default ordering; targets outside the default order (e.g. the
+        global-embedding retrieval tokens) are kept, appended at the end."""
+        ordered = [m for m in order if m in target_domains]
+        return ordered + [m for m in target_domains if m not in ordered]
 
     def build_schedule(self, cond_domains: List[str], target_domains: List[str],
                        defaults: Optional[Dict] = None, cfg_grow_conditioning: bool = True):
@@ -191,7 +205,10 @@ class FourMSampler:
                 if any(d.startswith("rgb") or d.startswith("tok_rgb") for d in cond_domains)
                 else DEFAULTS_X2RGB
             )
-        targets = self._ordered_targets(target_domains, DEFAULT_ORDER)
+            # @448 super-resolution targets use the SR defaults regardless of
+            # the conditioning side (demo_4M_sampler.py:125-136)
+            defaults = {**defaults, **DEFAULTS_SR}
+        targets = self._ordered_targets(target_domains, DEFAULT_ORDER + DEFAULT_ORDER_SR)
         cols = {k: [] for k in [
             "tokens_per_target", "autoregression_scheme", "decoding_steps",
             "token_decoding_schedule", "temp", "temp_schedule", "cfg_scale", "cfg_schedule",

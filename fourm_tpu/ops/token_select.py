@@ -33,6 +33,9 @@ def select_tokens(mask: jnp.ndarray, num_keep: int) -> jnp.ndarray:
       original order. Matches reference fm.py:363-366 ordering exactly.
     """
     O = mask.shape[-1]
+    # reference slices argsort output (fm.py:366): a budget larger than the
+    # stream silently clamps — match that instead of raising in top_k
+    num_keep = min(num_keep, O)
     positions = jnp.arange(O, dtype=jnp.int32)
     key = mask.astype(jnp.int32) * O + positions  # unmasked sort before masked
     # top_k of the negated key returns the num_keep smallest keys in ascending order.
