@@ -70,7 +70,18 @@ def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label:
     init_batch = jax.tree.map(
         jnp.asarray, synthetic_mod_batch(enc_mods, 1, 64, 64, seed=0)
     )
-    params = model.init(jax.random.key(0), init_batch, 64, 64)
+    if os.environ.get("BENCH_BF16_PARAMS") or "xlarge" in model_name:
+        # serving-mode weights: init directly to bf16 inside one jit so the
+        # fp32 master copy never materializes (XL fp32 params alone are 11GB —
+        # over a v5e-1 chip's HBM alongside activations)
+        def _init_bf16(r):
+            p = model.init(r, init_batch, 64, 64)
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
+
+        params = jax.jit(_init_bf16)(jax.random.key(0))
+    else:
+        params = model.init(jax.random.key(0), init_batch, 64, 64)
     sampler = FourMSampler(fm=(model, params), text_tokenizer=tok)
 
     rng = np.random.RandomState(0)
