@@ -33,6 +33,10 @@ def get_parser():
     p.add_argument("--shard_id", type=int, default=0)
     p.add_argument("--skip_existing", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--corrupt_samples_log", default=None,
+                   help="path to a corrupt-samples log: failures are appended; "
+                        "if the file exists, ONLY the listed sample ids are "
+                        "(re-)tokenized (reference save_vq_tokens.py:98-115)")
     p.add_argument("--task", default=None,
                    help="teacher feature task: CLIP-B16, DINOv2-B14, "
                         "DINOv2-B14-global (reference save_vq_tokens.py:188-196); "
@@ -62,7 +66,7 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
                     crop_settings_dir: Optional[str] = None, batch_size: int = 16,
                     num_shards: int = 1, shard_id: int = 0,
                     skip_existing: bool = True, seed: int = 0,
-                    teacher=None) -> int:
+                    teacher=None, corrupt_samples_log=None) -> int:
     """Tokenize every sample of root/{domain}; returns number processed."""
     import jax
     import jax.numpy as jnp
@@ -85,40 +89,59 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
 
     tokenize = jax.jit(lambda v, x: model.apply(v, x, method="tokenize"))
 
+    # re-tokenize-only-corrupt flow (reference save_vq_tokens.py:98-115): when
+    # the log already exists, restrict processing to the listed sample ids and
+    # ignore skip_existing for them
+    only_ids = None
+    if corrupt_samples_log and os.path.exists(corrupt_samples_log):
+        with open(corrupt_samples_log) as f:
+            only_ids = {l.strip() for l in f if l.strip()}
+        print(f"[retokenize] {len(only_ids)} corrupt samples from {corrupt_samples_log}")
+
     n_done = 0
     t = transforms[domain.split("@")[0]]
     for idx in range(shard_id, len(ds), num_shards):
         sample_id = ds.sample_ids[idx]
         out_path = os.path.join(out_dir, f"{sample_id}.npy")
-        if skip_existing and os.path.exists(out_path):
+        if only_ids is not None:
+            if sample_id not in only_ids:
+                continue
+        elif skip_existing and os.path.exists(out_path):
             continue
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
-        img = t.load(ds.paths[domain][idx])
-        img = t.preprocess(img)
-        W, H = img.size
-        cs_path = os.path.join(crop_settings_dir, f"{sample_id}.npy")
-        if os.path.exists(cs_path):
-            settings = np.load(cs_path)
-        else:
-            settings = make_crop_settings(rng, (H, W), n_crops)
-            os.makedirs(os.path.dirname(cs_path), exist_ok=True)
-            np.save(cs_path, settings)
+        try:
+            img = t.load(ds.paths[domain][idx])
+            img = t.preprocess(img)
+            W, H = img.size
+            cs_path = os.path.join(crop_settings_dir, f"{sample_id}.npy")
+            if os.path.exists(cs_path):
+                settings = np.load(cs_path)
+            else:
+                settings = make_crop_settings(rng, (H, W), n_crops)
+                os.makedirs(os.path.dirname(cs_path), exist_ok=True)
+                np.save(cs_path, settings)
 
-        crops = []
-        for top, left, h, w, flip in settings:
-            aug = t.image_augment(img, (top, left, h, w), bool(flip), (H, W),
-                                  (input_size, input_size), rand_aug_idx=None)
-            crops.append(t.postprocess(aug))
-        x = jnp.asarray(np.stack(crops))
-        if teacher is not None:
-            # CLIP/DINOv2 feature pseudo-labeling (reference :270-287): the
-            # tokenizer consumes teacher FEATURE maps, not pixels
-            x = teacher(x)
-        tokens = np.asarray(tokenize(variables, x)).astype(np.int16)
-        tokens = tokens.reshape(tokens.shape[0], -1)  # (n_crops, Hq*Wq)
-        np.save(out_path, tokens)
-        n_done += 1
+            crops = []
+            for top, left, h, w, flip in settings:
+                aug = t.image_augment(img, (top, left, h, w), bool(flip), (H, W),
+                                      (input_size, input_size), rand_aug_idx=None)
+                crops.append(t.postprocess(aug))
+            x = jnp.asarray(np.stack(crops))
+            if teacher is not None:
+                # CLIP/DINOv2 feature pseudo-labeling (reference :270-287): the
+                # tokenizer consumes teacher FEATURE maps, not pixels
+                x = teacher(x)
+            tokens = np.asarray(tokenize(variables, x)).astype(np.int16)
+            tokens = tokens.reshape(tokens.shape[0], -1)  # (n_crops, Hq*Wq)
+            np.save(out_path, tokens)
+            n_done += 1
+        except Exception as e:
+            print(f"[data] failed to tokenize {sample_id}: {e}")
+            if corrupt_samples_log:
+                with open(corrupt_samples_log, "a") as f:
+                    f.write(sample_id + chr(10))
+            continue
     return n_done
 
 
@@ -161,6 +184,7 @@ def main(args=None):
         crop_settings_dir=args.crop_settings_dir, batch_size=args.batch_size,
         num_shards=args.num_shards, shard_id=args.shard_id,
         skip_existing=args.skip_existing, seed=args.seed, teacher=teacher,
+        corrupt_samples_log=args.corrupt_samples_log,
     )
     print(f"tokenized {n} samples in {time.time() - t0:.1f}s")
 

@@ -27,6 +27,10 @@ def get_parser():
     p.add_argument("--model_type", default="vqvae", choices=["vqvae", "divae"])
     p.add_argument("--domain", default="rgb", help="modality to tokenize")
     p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--input_size_min", type=int, default=None,
+                   help="multi-resolution training: min size (reference :108-112)")
+    p.add_argument("--input_size_max", type=int, default=None)
+    p.add_argument("--resolution_step", type=int, default=32)
     p.add_argument("--n_channels", type=int, default=3)
     p.add_argument("--n_labels", type=int, default=None, help="semseg class count")
     p.add_argument("--enc_type", default="vit_b_enc")
@@ -170,13 +174,28 @@ def main(args=None):
     # training images, i.e. plain {rgb, depth, ...} folders)
     rng_np = np.random.RandomState(args.seed)
     S, C = args.input_size, args.n_channels
+    # multi-resolution per-batch size sampling (reference run_training_vqvae.py
+    # :108-112 / run_training_divae.py:958-961: hash(it) % choices). Each size
+    # is its own compiled program; the choice per step is deterministic.
+    if args.input_size_min and args.input_size_max:
+        res_choices = list(range(args.input_size_min, args.input_size_max + 1,
+                                 args.resolution_step))
+    else:
+        res_choices = [args.input_size]
+
+    def res_for_step(step: int) -> int:
+        return res_choices[hash(str(step)) % len(res_choices)]
+
+    def synthetic_batch(size):
+        if args.n_labels is not None:
+            return rng_np.randint(0, args.n_labels, (args.batch_size, size, size)).astype(np.int32)
+        return rng_np.rand(args.batch_size, size, size, C).astype(np.float32) * 2 - 1
 
     def synthetic_batches():
+        step = 0
         while True:
-            if args.n_labels is not None:
-                yield rng_np.randint(0, args.n_labels, (args.batch_size, S, S)).astype(np.int32)
-            else:
-                yield (rng_np.rand(args.batch_size, S, S, C).astype(np.float32) * 2 - 1)
+            yield synthetic_batch(res_for_step(step))
+            step += 1
 
     if args.synthetic_data or args.data_path is None:
         loader = synthetic_batches()

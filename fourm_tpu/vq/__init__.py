@@ -27,6 +27,7 @@ from .vqvae import (
 )
 from .controlnet import (
     AutoencoderKL,
+    Token2VAE,
     ControlNetCond,
     controlnet_params_from_unet,
     vqcontrolnet_trainable_mask,

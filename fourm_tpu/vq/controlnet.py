@@ -482,3 +482,50 @@ def vqcontrolnet_trainable_mask(params) -> dict:
         return out
 
     return walk(params, False)
+
+
+class Token2VAE(nn.Module):
+    """Adapter mapping quantized token latents to SD-VAE latent stats or
+    samples (reference fourm/vq/models/lm_models.py:30-160): conv_in -> mid
+    resblocks+attention -> upsampling decoder blocks -> 8ch (mean, std) or 4ch
+    sample. Used standalone or as the ControlNet conditioning adapter
+    (ControlNetAdapterEmbedding, controlnet.py:29-61)."""
+
+    in_channels: int = 32
+    output_type: str = "stats"  # "stats" (8ch mean+std) | "sample" (4ch)
+    block_out_channels: Tuple[int, ...] = (256, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    scaling_factor: float = 0.18215
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, quant):
+        out_ch = self.latent_channels if self.output_type == "sample" else 2 * self.latent_channels
+        ch = list(reversed(self.block_out_channels))
+        h = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            quant.astype(self.dtype))
+        # mid: resblock + self-attention + resblock (diffusers UNetMidBlock2D)
+        h = VAEResBlock(ch[0], dtype=self.dtype, name="mid_res_0")(h)
+        h = SpatialSelfAttention(num_heads=1, dtype=self.dtype, name="mid_attn")(h)
+        h = VAEResBlock(ch[0], dtype=self.dtype, name="mid_res_1")(h)
+        # up blocks
+        for i, c in enumerate(ch):
+            for j in range(self.layers_per_block + 1):
+                h = VAEResBlock(c, dtype=self.dtype, name=f"up_{i}_res_{j}")(h)
+            if i != len(ch) - 1:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_{i}_upsample")(h)
+        h = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="conv_norm_out")(h)
+        return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(nn.silu(h))
+
+    def sample(self, x, rng=None):
+        """stats (mean, std) -> sampled latent (reference :128-133)."""
+        if x.shape[-1] == self.latent_channels:
+            return x
+        mean, std = jnp.split(x, 2, axis=-1)
+        noise = jax.random.normal(rng, std.shape, std.dtype) if rng is not None else 0.0
+        return mean + std * noise

@@ -153,3 +153,19 @@ def test_train_vqcontrolnet_cli_smoke(tmp_path):
         "--save_ckpt_freq", "1000", "--print_freq", "1", "--dtype", "float32",
         "--output_dir", str(tmp_path / "cn"),
     ])
+
+
+def test_token2vae_shapes_and_sampling():
+    """Token2VAE adapter (reference lm_models.py:30-160): quant grid -> VAE
+    latent stats (8ch) upsampled 2^(n_blocks-1)x; stats -> sample."""
+    from fourm_tpu.vq import Token2VAE
+
+    m = Token2VAE(in_channels=8, block_out_channels=(32, 64), layers_per_block=1)
+    q = jnp.asarray(np.random.RandomState(0).rand(2, 4, 4, 8), jnp.float32)
+    v = m.init(jax.random.key(0), q)
+    stats = m.apply(v, q)
+    assert stats.shape == (2, 8, 8, 8)  # 2x upsample, mean+std channels
+    z = m.sample(stats, rng=jax.random.key(1))
+    assert z.shape == (2, 8, 8, 4)
+    # 4ch input passes through sample() unchanged
+    np.testing.assert_array_equal(np.asarray(m.sample(z)), np.asarray(z))

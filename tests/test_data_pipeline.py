@@ -428,3 +428,41 @@ def test_remote_shard_streaming_over_http(tmp_path):
         from fourm_tpu.utils.remote import open_url
 
         open_url("s3://bucket/shard.tar")
+
+
+def test_save_vq_tokens_corrupt_log_flow(tmp_path):
+    """Failures append to the corrupt log; a pre-existing log restricts the
+    run to exactly those ids (reference save_vq_tokens.py:98-115)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fourm_tpu.cli.save_vq_tokens import tokenize_folder
+    from fourm_tpu.vq import VQ
+
+    root = tmp_path / "data" / "rgb" / "cls"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            root / f"img{i}.jpg")
+    (root / "bad.jpg").write_bytes(b"not an image at all")
+
+    model = VQ(image_size=32, patch_size=8, enc_type="vit_t_enc", codebook_size=32,
+               latent_dim=8)
+    variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)},
+                           jnp.zeros((1, 32, 32, 3)))
+    out_dir = tmp_path / "tokens"
+    log = tmp_path / "corrupt.log"
+    n = tokenize_folder(model, variables, str(tmp_path / "data"), "rgb",
+                        str(out_dir), input_size=32, n_crops=1,
+                        corrupt_samples_log=str(log))
+    assert n == 2
+    corrupt_ids = [l.strip() for l in open(log)]
+    assert len(corrupt_ids) == 1 and "bad" in corrupt_ids[0]
+
+    # second pass: only the corrupt id is attempted (still fails, re-logged)
+    n2 = tokenize_folder(model, variables, str(tmp_path / "data"), "rgb",
+                         str(out_dir), input_size=32, n_crops=1,
+                         corrupt_samples_log=str(log))
+    assert n2 == 0

@@ -141,3 +141,18 @@ def test_vqvae_cli_with_lpips_smoke(tmp_path):
         "--percept_loss_weight", "0.1",
         "--output_dir", str(tmp_path / "vq"),
     ])
+
+
+def test_vqvae_cli_multires_smoke(tmp_path):
+    """Multi-resolution per-batch size sampling (reference :108-112)."""
+    from fourm_tpu.cli.train_vqvae import main
+
+    main([
+        "--synthetic_data", "--input_size", "32", "--input_size_min", "24",
+        "--input_size_max", "32", "--resolution_step", "8",
+        "--patch_size", "4", "--enc_type", "vit_t_enc", "--dec_type", "vit_t_dec",
+        "--codebook_size", "64", "--latent_dim", "8", "--batch_size", "2",
+        "--total_steps", "3", "--warmup_steps", "1", "--eval_freq", "100",
+        "--print_freq", "1", "--dtype", "float32",
+        "--output_dir", str(tmp_path / "mr"),
+    ])
