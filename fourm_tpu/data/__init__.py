@@ -27,3 +27,4 @@ from .pretrain_utils import (
     make_unified_masking,
     setup_sampling_mod_info,
 )
+from .loader import MultiprocessLoader

@@ -8,3 +8,4 @@ from .mesh import (
     replicated,
 )
 from .train import TrainState, build_train_step, frozen_trunk_mask, init_train_state
+from .launch import initialize_multihost, is_main_process, process_count, process_index

@@ -466,3 +466,33 @@ def test_save_vq_tokens_corrupt_log_flow(tmp_path):
                          str(out_dir), input_size=32, n_crops=1,
                          corrupt_samples_log=str(log))
     assert n2 == 0
+
+
+def _loader_factory(worker_id, num_workers):
+    # module-level (picklable); distinct streams per worker
+    for i in range(3):
+        yield {"worker": worker_id, "i": i}
+
+
+def test_multiprocess_loader_interleaves_workers():
+    from fourm_tpu.data import MultiprocessLoader
+
+    items = list(MultiprocessLoader(_loader_factory, num_workers=2,
+                                    max_items_per_worker=3))
+    assert len(items) == 6
+    assert {it["worker"] for it in items} == {0, 1}
+    # inline mode matches torch DataLoader num_workers=0 semantics
+    inline = list(MultiprocessLoader(_loader_factory, num_workers=0))
+    assert len(inline) == 3
+
+
+def _crashing_factory(worker_id, num_workers):
+    yield {"ok": True}
+    raise ValueError("boom")
+
+
+def test_multiprocess_loader_surfaces_worker_errors():
+    from fourm_tpu.data import MultiprocessLoader
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(MultiprocessLoader(_crashing_factory, num_workers=1))
