@@ -130,14 +130,17 @@ def bench_vq_tokenize(jax, jnp):
     x0 = jnp.zeros((B, 224, 224, 3), jnp.float32)
     variables = model.init({"params": jax.random.key(0), "rng": jax.random.key(1)},
                            x0[:1])
-    tokenize = jax.jit(lambda v, x: model.apply(v, x, method="tokenize"))
-    x = jnp.asarray(np.random.RandomState(0).rand(B, 224, 224, 3).astype(np.float32))
-    _ = np.asarray(tokenize(variables, x))  # compile + fence
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = tokenize(variables, x)
-    _ = np.asarray(out)
+    from fourm_tpu.ops.transformer import use_pallas_attention
+
+    with use_pallas_attention():
+        tokenize = jax.jit(lambda v, x: model.apply(v, x, method="tokenize"))
+        x = jnp.asarray(np.random.RandomState(0).rand(B, 224, 224, 3).astype(np.float32))
+        _ = np.asarray(tokenize(variables, x))  # compile + fence
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = tokenize(variables, x)
+        _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     ips = B / dt
 

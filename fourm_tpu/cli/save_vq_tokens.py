@@ -87,7 +87,15 @@ def tokenize_folder(model, variables, data_root: str, domain: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
 
-    tokenize = jax.jit(lambda v, x: model.apply(v, x, method="tokenize"))
+    from ..ops.transformer import use_pallas_attention
+
+    _tokenize = jax.jit(lambda v, x: model.apply(v, x, method="tokenize"))
+
+    def tokenize(v, x):
+        # fused attention on the encoder hot path (TPU-only; no-op on CPU).
+        # The context must be active while TRACING, i.e. around the call.
+        with use_pallas_attention():
+            return _tokenize(v, x)
 
     # re-tokenize-only-corrupt flow (reference save_vq_tokens.py:98-115): when
     # the log already exists, restrict processing to the listed sample ids and
