@@ -272,6 +272,8 @@ class ShardedTarDataset:
         resample: bool = True,
         seed: Optional[int] = None,
         modality_name_map: Optional[Dict[str, str]] = None,
+        n_repeats: int = 1,
+        shuffle_buffer_repeat: int = 1000,
     ):
         self.urls = braceexpand(shard_pattern)
         self.modalities = list(modalities)
@@ -281,6 +283,12 @@ class ShardedTarDataset:
         self.resample = resample
         self.rng = random.Random(seed)
         self.modality_name_map = modality_name_map
+        # reference wds_n_repeats: emit each decoded sample n times (each
+        # repeat gets an independent mask/augment draw downstream) through a
+        # second shuffle buffer — amortizes tar decode cost
+        # (unified_datasets.py:376-381)
+        self.n_repeats = n_repeats
+        self.shuffle_buffer_repeat = shuffle_buffer_repeat
 
     def _shard_iter(self):
         if self.resample:
@@ -289,7 +297,7 @@ class ShardedTarDataset:
         else:
             yield from self.urls
 
-    def __iter__(self):
+    def _decoded_iter(self):
         raw_iter = iterate_multi_tar_samples(self._shard_iter(), self.modality_name_map)
         buf: List[Dict] = []
         for raw in raw_iter:
@@ -303,8 +311,33 @@ class ShardedTarDataset:
                 idx = self.rng.randrange(len(buf))
                 sample, buf[idx] = buf[idx], sample
                 buf.pop()
+            yield sample
+
+    def __iter__(self):
+        it = self._decoded_iter()
+        if self.n_repeats > 1:
+            base = it
+
+            def repeated():
+                rbuf: List[Dict] = []
+                for sample in base:
+                    for _ in range(self.n_repeats):
+                        if self.shuffle_buffer_repeat > 1:
+                            rbuf.append(sample)
+                            if len(rbuf) < self.shuffle_buffer_repeat:
+                                continue
+                            i = self.rng.randrange(len(rbuf))
+                            out, rbuf[i] = rbuf[i], sample
+                            rbuf.pop()
+                            yield out
+                        else:
+                            yield sample
+                yield from rbuf
+
+            it = repeated()
+        for sample in it:
             if self.transform is not None:
-                sample = self.transform(sample)
+                sample = self.transform(dict(sample))
             yield sample
 
 

@@ -146,6 +146,8 @@ def get_train_dataset(
             path, all_domains, transforms, transform=transform,
             shuffle_buffer=dataset_config.get("wds_shuffle_buffer_tar", 1000),
             seed=seed, modality_name_map=dataset_config.get("modality_name_map"),
+            n_repeats=dataset_config.get("wds_n_repeats", 1),
+            shuffle_buffer_repeat=dataset_config.get("wds_shuffle_buffer_repeat", 1000),
         )
     if dtype == "multimodal":
         ds = build_fm_pretraining_dataset(

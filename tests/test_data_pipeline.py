@@ -496,3 +496,35 @@ def test_multiprocess_loader_surfaces_worker_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(MultiprocessLoader(_crashing_factory, num_workers=1))
+
+
+def test_sharded_tar_n_repeats(tmp_path):
+    """wds_n_repeats: each decoded sample is emitted n times, each repeat
+    passing the (stochastic) transform independently (reference
+    unified_datasets.py:376-381)."""
+    import io
+    import itertools
+    import tarfile
+
+    from fourm_tpu.data.datasets import ShardedTarDataset
+
+    tar = tmp_path / "000000.tar"
+    with tarfile.open(tar, "w") as tf:
+        for key in ("s0", "s1"):
+            data = key.encode()
+            info = tarfile.TarInfo(f"{key}.doc.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    counter = itertools.count()
+    ds = ShardedTarDataset(
+        str(tar), ["doc"], {"doc": object()},
+        transform=lambda s: {**s, "draw": next(counter)},
+        shuffle_buffer=1, resample=False, n_repeats=3, shuffle_buffer_repeat=1,
+    )
+    out = list(ds)
+    assert len(out) == 6
+    from collections import Counter
+
+    assert Counter(s["doc"] for s in out) == {"s0": 3, "s1": 3}
+    assert len({s["draw"] for s in out}) == 6  # transform ran per repeat
