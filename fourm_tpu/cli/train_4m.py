@@ -68,6 +68,8 @@ def get_parser():
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--text_tokenizer_path", default=None)
     p.add_argument("--epoch_size", type=int, default=10_000, help="samples per 'epoch' (ckpt cadence)")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="data-loading worker processes (0 = inline)")
     # mesh
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
     p.add_argument("--tensor", type=int, default=1)
@@ -180,7 +182,6 @@ def main(args=None):
     import jax
     import jax.numpy as jnp
 
-    from ..data.pretrain_utils import get_train_dataset, build_mixture_loader
     from ..models import FourM, create_fourm_config
     from ..parallel import build_train_step, init_train_state, make_mesh
     from ..utils.checkpoint import auto_resume, save_checkpoint
@@ -254,18 +255,17 @@ def main(args=None):
         data_cfg = load_yaml(args.data_config)
         text_tokenizer = load_tokenizer(args.text_tokenizer_path) if args.text_tokenizer_path else None
         train_cfgs = data_cfg["train"]["datasets"]
-        datasets, weights = [], []
-        for name, dcfg in train_cfgs.items():
-            datasets.append(get_train_dataset(
-                dcfg, text_tokenizer, 224, args.num_input_tokens, args.num_target_tokens,
-                args.min_input_tokens, args.min_target_tokens, seed=args.seed,
-            ))
-            weights.append(dcfg.get("weight", 1.0))
         from ..data.datasets import batched_loader, prefetch_iterator
-        from ..data.pretrain_utils import get_val_dataset
+        from ..data.pretrain_utils import build_parallel_train_loader, get_val_dataset
 
         loader = prefetch_iterator(
-            build_mixture_loader(datasets, weights, all_domains, global_bs, seed=args.seed),
+            build_parallel_train_loader(
+                train_cfgs, all_domains, global_bs, 224,
+                args.num_input_tokens, args.num_target_tokens,
+                args.min_input_tokens, args.min_target_tokens,
+                text_tokenizer_path=args.text_tokenizer_path, seed=args.seed,
+                num_workers=args.num_workers,
+            ),
             prefetch=4,
         )
         val_cfgs = (data_cfg.get("val") or {}).get("datasets", {})

@@ -118,12 +118,16 @@ def get_train_dataset(
         )
 
     is_pretokenized = any(MODALITY_INFO[m].pretokenized for m in all_domains)
+    load_domains = list(all_domains)
     if is_pretokenized:
         augmenter = PreTokenizedImageAugmenter(
             target_size=input_size,
             no_aug=not dataset_config.get("tok_train_aug", True),
             main_domain=dataset_config.get("main_augment_domain", "rgb"),
         )
+        # pre-tokenized datasets carry persisted crop settings alongside tokens
+        # (reference unified_datasets.py:83-85 appends them automatically)
+        load_domains.append("crop_settings")
     else:
         augmenter = RandomCropImageAugmenter(target_size=input_size)
 
@@ -143,7 +147,7 @@ def get_train_dataset(
             return masking(unified(sample))
 
         return ShardedTarDataset(
-            path, all_domains, transforms, transform=transform,
+            path, load_domains, transforms, transform=transform,
             shuffle_buffer=dataset_config.get("wds_shuffle_buffer_tar", 1000),
             seed=seed, modality_name_map=dataset_config.get("modality_name_map"),
             n_repeats=dataset_config.get("wds_n_repeats", 1),
@@ -151,7 +155,7 @@ def get_train_dataset(
         )
     if dtype == "multimodal":
         ds = build_fm_pretraining_dataset(
-            path, all_domains, transforms, augmenter, masking,
+            path, load_domains, transforms, augmenter, masking,
             modality_paths=dataset_config.get("modality_paths"),
         )
         return repeat_dataset(ds)
@@ -186,11 +190,13 @@ def get_val_dataset(
         )
 
     is_pretokenized = any(MODALITY_INFO[m].pretokenized for m in all_domains)
+    load_domains = list(all_domains)
     if is_pretokenized:
         augmenter = PreTokenizedImageAugmenter(
             target_size=input_size, no_aug=True,
             main_domain=dataset_config.get("main_augment_domain", "rgb"),
         )
+        load_domains.append("crop_settings")
     else:
         augmenter = CenterCropImageAugmenter(
             target_size=input_size,
@@ -214,7 +220,7 @@ def get_val_dataset(
     if dtype != "multimodal":
         raise ValueError(f"unsupported val dataset type {dtype}")
     return build_fm_pretraining_dataset(
-        dataset_config["data_path"], all_domains, transforms, augmenter, masking,
+        dataset_config["data_path"], load_domains, transforms, augmenter, masking,
         modality_paths=dataset_config.get("modality_paths"),
     )
 
@@ -228,3 +234,59 @@ def build_mixture_loader(
     modality_info = {m: MODALITY_INFO[m] for m in all_domains}
     mixture = MixtureDataset(datasets, weights, modality_info, seed=seed)
     return batched_loader(iter(mixture), batch_size, epoch_size)
+
+
+# --------------------------------------------------- multiprocess train loader
+
+def _mixture_worker_factory(spec: Dict[str, Any], worker_id: int, num_workers: int):
+    """Picklable worker entry for MultiprocessLoader: rebuilds tokenizer +
+    datasets inside the worker with a per-worker seed (the reference's
+    independent per-worker shard resampling, unified_datasets.py:371-373)."""
+    from ..utils.text_tokenizer import load_tokenizer
+
+    text_tokenizer = (load_tokenizer(spec["text_tokenizer_path"])
+                      if spec.get("text_tokenizer_path") else None)
+    seed = (spec.get("seed") or 0) + 1000 * worker_id
+    datasets, weights = [], []
+    for name, dcfg in spec["train_datasets"].items():
+        datasets.append(get_train_dataset(
+            dcfg, text_tokenizer, spec["input_size"], spec["num_input_tokens"],
+            spec["num_target_tokens"], spec.get("min_input_tokens"),
+            spec.get("min_target_tokens"), seed=seed,
+        ))
+        weights.append(dcfg.get("weight", 1.0))
+    return build_mixture_loader(datasets, weights, spec["all_domains"],
+                                spec["batch_size"], seed=seed)
+
+
+def build_parallel_train_loader(
+    train_datasets: Dict[str, Dict[str, Any]],
+    all_domains: List[str],
+    batch_size: int,
+    input_size: int,
+    num_input_tokens: int,
+    num_target_tokens: int,
+    min_input_tokens: Optional[int] = None,
+    min_target_tokens: Optional[int] = None,
+    text_tokenizer_path: Optional[str] = None,
+    seed: Optional[int] = None,
+    num_workers: int = 0,
+):
+    """Mixture train loader across `num_workers` processes (torch DataLoader
+    workers analogue; 0 = inline). Host-side Dirichlet/span masking is the CPU
+    bottleneck at pod scale (SURVEY.md hard part #5) — this parallelizes it."""
+    import functools
+
+    from .loader import MultiprocessLoader
+
+    spec = dict(
+        train_datasets=train_datasets, all_domains=list(all_domains),
+        batch_size=batch_size, input_size=input_size,
+        num_input_tokens=num_input_tokens, num_target_tokens=num_target_tokens,
+        min_input_tokens=min_input_tokens, min_target_tokens=min_target_tokens,
+        text_tokenizer_path=text_tokenizer_path, seed=seed,
+    )
+    if num_workers == 0:
+        return _mixture_worker_factory(spec, 0, 1)
+    return iter(MultiprocessLoader(
+        functools.partial(_mixture_worker_factory, spec), num_workers=num_workers))

@@ -528,3 +528,37 @@ def test_sharded_tar_n_repeats(tmp_path):
 
     assert Counter(s["doc"] for s in out) == {"s0": 3, "s1": 3}
     assert len({s["draw"] for s in out}) == 6  # transform ran per repeat
+
+
+def test_build_parallel_train_loader_workers(tmp_path):
+    """build_parallel_train_loader: inline (0) and 2-process loading produce
+    batched mod dicts from the same folder dataset config."""
+    from fourm_tpu.data.pretrain_utils import build_parallel_train_loader
+    from fourm_tpu.utils.text_tokenizer import (
+        generate_sentinel_tokens,
+        train_unified_wordpiece_tokenizer,
+    )
+
+    make_folder_dataset(str(tmp_path / "data"))
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("a photo number one two three\n" * 100)
+    tok = train_unified_wordpiece_tokenizer(
+        str(corpus), vocab_size=300,
+        sentinel_tokens=generate_sentinel_tokens(num=10), show_progress=False)
+    tok_path = str(tmp_path / "tok.json")
+    tok.save(tok_path)
+
+    cfgs = {"d0": {
+        "type": "multimodal",
+        "in_domains": "tok_rgb@224-caption", "out_domains": "tok_rgb@224-caption",
+        "input_alphas": "0.5", "target_alphas": "0.5",
+        "data_path": str(tmp_path / "data"), "weight": 1.0,
+    }}
+    for workers in (0, 2):
+        loader = build_parallel_train_loader(
+            cfgs, ["caption", "tok_rgb@224"], batch_size=2, input_size=224,
+            num_input_tokens=32, num_target_tokens=32,
+            text_tokenizer_path=tok_path, seed=0, num_workers=workers)
+        batch = next(iter(loader)) if workers == 0 else next(iter(loader))
+        assert set(batch) >= {"caption", "tok_rgb@224"}
+        assert batch["tok_rgb@224"]["tensor"].shape[0] == 2
