@@ -195,19 +195,22 @@ class FourMSampler:
         ordered = [m for m in order if m in target_domains]
         return ordered + [m for m in target_domains if m not in ordered]
 
+    def resolve_defaults(self, cond_domains: List[str]) -> Dict[str, Dict]:
+        """Per-modality schedule defaults for this conditioning side
+        (demo_4M_sampler.py:42-136), with the @448 SR entries merged in."""
+        defaults = (
+            DEFAULTS_RGB2X
+            if any(d.startswith("rgb") or d.startswith("tok_rgb") for d in cond_domains)
+            else DEFAULTS_X2RGB
+        )
+        return {**defaults, **DEFAULTS_SR}
+
     def build_schedule(self, cond_domains: List[str], target_domains: List[str],
                        defaults: Optional[Dict] = None, cfg_grow_conditioning: bool = True):
         """Assemble a chained schedule from per-modality defaults
         (reference __setup_sample_and_schedule, demo_4M_sampler.py:304-404)."""
         if defaults is None:
-            defaults = (
-                DEFAULTS_RGB2X
-                if any(d.startswith("rgb") or d.startswith("tok_rgb") for d in cond_domains)
-                else DEFAULTS_X2RGB
-            )
-            # @448 super-resolution targets use the SR defaults regardless of
-            # the conditioning side (demo_4M_sampler.py:125-136)
-            defaults = {**defaults, **DEFAULTS_SR}
+            defaults = self.resolve_defaults(cond_domains)
         targets = self._ordered_targets(target_domains, DEFAULT_ORDER + DEFAULT_ORDER_SR)
         cols = {k: [] for k in [
             "tokens_per_target", "autoregression_scheme", "decoding_steps",

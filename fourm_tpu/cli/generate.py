@@ -28,7 +28,18 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--top_k", type=float, default=0.0)
     p.add_argument("--top_p", type=float, default=0.0)
-    p.add_argument("--decoding_steps", type=int, default=25)
+    # per-target schedule overrides, hyphen-separated with single-value
+    # broadcast (reference run_generation.py string_to_list / settings configs)
+    p.add_argument("--tokens_per_target", default=None)
+    p.add_argument("--autoregression_schemes", default=None,
+                   help="e.g. roar-roar-autoregressive")
+    p.add_argument("--decoding_steps", default=None)
+    p.add_argument("--token_decoding_schedules", default=None)
+    p.add_argument("--temps", default=None)
+    p.add_argument("--temp_schedules", default=None)
+    p.add_argument("--cfg_scales", default=None)
+    p.add_argument("--cfg_schedules", default=None)
+    p.add_argument("--cfg_grow_conditioning", type=bool, default=True)
     p.add_argument("--perform_sr", action="store_true")
     p.add_argument("--tokenizer", action="append", default=[],
                    metavar="MOD=PATH",
@@ -44,6 +55,48 @@ def get_parser():
     p.add_argument("--num_shards", type=int, default=1)
     p.add_argument("--shard_id", type=int, default=0)
     return p
+
+
+def _hyphen_list(value, n, cast):
+    """'a-b-c' -> [a,b,c]; single value broadcasts to n (reference
+    run_generation.py:309 string_to_list)."""
+    parts = str(value).split("-")
+    vals = [cast(v) for v in parts]
+    if len(vals) == 1:
+        vals = vals * n
+    if len(vals) != n:
+        raise SystemExit(f"expected 1 or {n} hyphen-separated values, got {value!r}")
+    return vals
+
+
+def schedule_overrides(args, sampler, cond_domains, targets):
+    """Per-target schedule defaults: demo defaults with any provided
+    settings-config fields overriding (reference settings_base/settings_sr
+    configs feed these exact keys)."""
+    fields = {
+        "tokens_per_target": (args.tokens_per_target, int),
+        "autoregression_scheme": (args.autoregression_schemes, str),
+        "decoding_steps": (args.decoding_steps, int),
+        "token_decoding_schedule": (args.token_decoding_schedules, str),
+        "temp": (args.temps, float),
+        "temp_schedule": (args.temp_schedules, str),
+        "cfg_scale": (args.cfg_scales, float),
+        "cfg_schedule": (args.cfg_schedules, str),
+    }
+    if all(v is None for v, _ in fields.values()):
+        return None
+    base = sampler.resolve_defaults(cond_domains)
+    n = len(targets)
+    cols = {k: (_hyphen_list(v, n, cast) if v is not None else None)
+            for k, (v, cast) in fields.items()}
+    out = {}
+    for i, t in enumerate(targets):
+        d = dict(base[t])
+        for k, vals in cols.items():
+            if vals is not None:
+                d[k] = vals[i]
+        out[t] = d
+    return out
 
 
 def load_fm(path: str):
@@ -157,7 +210,12 @@ def main(args=None):
             seed = args.seed + idx * 1000 + var
             mod_dict = sampler.prepare_sample(sample, cond_domains, target_domains,
                                               args.batch_size)
-            schedule = sampler.build_schedule(cond_domains, target_domains)
+            schedule = sampler.build_schedule(
+                cond_domains, target_domains,
+                defaults=schedule_overrides(args, sampler, cond_domains,
+                                            target_domains),
+                cfg_grow_conditioning=args.cfg_grow_conditioning,
+            )
             out = sampler.generate(mod_dict, schedule, seed=seed)
             if args.perform_sr and sampler.sampler_sr is not None:
                 out = sampler.super_resolve(out, seed=seed)

@@ -72,3 +72,21 @@ def test_tokenization_configs_match_cli_flags():
         flags = cn_flags if "vqcontrolnet" in path else vq_flags
         unknown = set(cfg) - flags - {"run_name"}
         assert not unknown, f"{path}: flags unknown to the CLI: {unknown}"
+
+
+def test_generation_configs_match_cli_flags():
+    from fourm_tpu.cli.generate import get_parser
+
+    flags = {a.dest for a in get_parser()._actions}
+    for path in glob.glob(os.path.join(REPO, "cfgs/default/generation/settings_*/*.yaml")):
+        cfg = yaml.safe_load(open(path))
+        unknown = set(cfg) - flags - {"name"}
+        assert not unknown, f"{path}: flags unknown to generate CLI: {unknown}"
+    for path in glob.glob(os.path.join(REPO, "cfgs/default/generation/models/*.yaml")):
+        cfg = yaml.safe_load(open(path))
+        unknown = set(cfg) - flags
+        assert not unknown, f"{path}: flags unknown to generate CLI: {unknown}"
+    for path in glob.glob(os.path.join(REPO, "cfgs/default/generation/data/*.yaml")):
+        cfg = yaml.safe_load(open(path))
+        unknown = set(cfg) - flags - {"data_name", "num_log_images"}
+        assert not unknown, f"{path}: flags unknown to generate CLI: {unknown}"
