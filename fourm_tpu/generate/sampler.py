@@ -115,26 +115,38 @@ class GenerationSampler:
         self.top_p = top_p
         self._jit_cache: Dict = {}
 
-    def _encoder_budget(self, mod_dict) -> int | None:
-        """Host-computed static encoder-token budget for generation: the number
-        of VALID (unmasked) encoder tokens across the batch, rounded up to 256.
+    def _init_valid_counts(self, mod_dict) -> Dict[str, int]:
+        """Host-side bookkeeping for the encoder-compaction budget: per-modality
+        max (over batch) count of VALID encoder tokens, computed ONCE at the
+        start of `generate`. Subsequent steps update these counts analytically
+        (img steps accept exactly `num_select` tokens; sequence merges rebuild
+        the input_mask on host), so the per-step budget costs ZERO device->host
+        transfers — on a tunneled/remote device each np.asarray(sync) is
+        tens of ms, and the previous per-step recount (21 modality masks, every
+        step) dominated the whole chain wall-clock."""
+        enc_mods = getattr(self.model.config, "encoder_modalities", ())
+        counts: Dict[str, int] = {}
+        for mod in enc_mods:
+            if mod in mod_dict:
+                m = np.asarray(mod_dict[mod]["input_mask"])
+                counts[mod] = int((~m).sum(axis=1).max())
+        return counts
+
+    def _encoder_budget(self, counts: Dict[str, int], mod_dict) -> int | None:
+        """Static encoder-token budget: valid count rounded up to 256.
         Compacting the 3024-token mod-21 stream to this bucket cuts encoder and
         cross-attention cost ~stream/budget with identical logits (all valid
         tokens are kept; see FourM.forward_generation_img). Returns None when
-        compaction wouldn't help (budget >= stream length)."""
+        compaction wouldn't help (budget >= stream length). The stream length
+        is recomputed from (host-known) shapes because sequence merges change
+        a modality's layout to (max_tokens+1)*2."""
         enc_mods = getattr(self.model.config, "encoder_modalities", ())
-        total = 0
-        n_valid = None
-        for mod in enc_mods:
-            if mod not in mod_dict:
-                continue
-            m = np.asarray(mod_dict[mod]["input_mask"])
-            total += m.shape[1]
-            v = (~m).sum(axis=1)
-            n_valid = v if n_valid is None else n_valid + v
-        if n_valid is None or total == 0:
+        total = sum(
+            mod_dict[mod]["input_mask"].shape[1] for mod in enc_mods if mod in mod_dict
+        )
+        if not counts or total == 0:
             return None
-        need = max(int(n_valid.max()), 1)
+        need = max(sum(counts.values()), 1)
         bucket = min(-(-need // 256) * 256, total)
         return None if bucket >= total else bucket
 
@@ -251,6 +263,82 @@ class GenerationSampler:
         self._jit_cache[key] = jitted
         return jitted
 
+    def _img_target_fn(self, target_mod: str, scheme: str, cond_mods: Tuple[str, ...],
+                       use_cfg: bool, n_steps: int, use_filter: bool = False,
+                       enc_budget=None):
+        """All `n_steps` MaskGIT/ROAR steps of ONE target modality fused into a
+        single jitted lax.scan. One dispatch instead of n_steps — on a
+        tunneled/remote device each dispatch costs a ~30 ms round trip, which
+        dominates the 25-step X2RGB and 8-step 448px-SR schedules. Per-step
+        num_select / temperature / cfg_scale are scanned arrays (same compile
+        for every schedule of the same length)."""
+        key = ("img_scan", target_mod, scheme, cond_mods, use_cfg, n_steps,
+               use_filter, enc_budget)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model = self.model
+
+        def fn(variables, mod_dict, num_selects, temps, cfg_scales, top_k, top_p, rng):
+            d_t0 = mod_dict[target_mod]
+            B = d_t0["tensor"].shape[0]
+            others = {m: d for m, d in mod_dict.items() if m != target_mod}
+
+            def one_step(carry, xs):
+                tensor, input_mask, target_mask, rng = carry
+                num_select, temperature, cfg_scale = xs
+                d_t = dict(d_t0)
+                d_t.update(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
+                md_step = {**others, target_mod: d_t}
+                still = ~target_mask
+                rng, rng_sel, rng_samp = jax.random.split(rng, 3)
+
+                if scheme == "roar":
+                    noise = jax.random.uniform(rng_sel, still.shape)
+                    sel_ranks = _ranks_desc(jnp.where(still, noise, -jnp.inf))
+                    sa_valid = (sel_ranks < num_select) & still
+                else:
+                    sa_valid = still
+
+                if use_cfg:
+                    uncond = _empty_cond_tree(md_step, cond_mods)
+                    md = _tree_concat([md_step, uncond])
+                    sa = jnp.concatenate([sa_valid, sa_valid], axis=0)
+                else:
+                    md, sa = md_step, sa_valid
+
+                logits = model.apply(
+                    variables, md, target_mod, sa, enc_budget,
+                    method="forward_generation_img",
+                ).astype(jnp.float32)
+                if use_cfg:
+                    lc, lu = logits[:B], logits[B:]
+                    logits = lu + cfg_scale * (lc - lu)
+                if use_filter:
+                    logits = top_k_top_p_filtering_dynamic(logits, top_k, top_p)
+                samples, probs = _sample_traced_temp(rng_samp, logits, temperature)
+                samples = samples.astype(tensor.dtype)
+
+                if scheme == "roar":
+                    accept = sa_valid
+                else:
+                    conf = jnp.where(still, probs, -jnp.inf)
+                    accept = (_ranks_desc(conf) < num_select) & still
+
+                tensor = jnp.where(accept, samples, tensor)
+                input_mask = input_mask & ~accept
+                target_mask = target_mask | accept
+                return (tensor, input_mask, target_mask, rng), None
+
+            init = (d_t0["tensor"], d_t0["input_mask"], d_t0["target_mask"], rng)
+            (tensor, input_mask, target_mask, _), _ = jax.lax.scan(
+                one_step, init, (num_selects, temps, cfg_scales))
+            return tensor, input_mask, target_mask
+
+        jitted = jax.jit(fn)
+        self._jit_cache[key] = jitted
+        return jitted
+
     # -------------------------------------------------------------- AR steps
 
     def _ar_step_fn(self, target_mod: str, cond_mods: Tuple[str, ...], use_cfg: bool,
@@ -361,6 +449,7 @@ class GenerationSampler:
             merged = merge_span_masking(inp, preds, sentinel_ids)[:L]
             tensors[b, : len(merged)] = merged
             input_mask[b, : len(merged)] = False
+        self._last_merge_valid = int((~input_mask).sum(axis=1).max())
         mod_dict[target_mod] = {
             "tensor": jnp.asarray(tensors),
             "input_mask": jnp.asarray(input_mask),
@@ -379,12 +468,81 @@ class GenerationSampler:
         semantics) without recompiling — they are traced scalars."""
         if rng is None:
             rng = jax.random.key(seed if seed is not None else 0)
+        counts = self._init_valid_counts(mod_dict)
         mod_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
 
-        for step_info in schedule:
+        for group in self._group_schedule(schedule):
             rng, rng_step = jax.random.split(rng)
-            mod_dict = self._generate_one_step(mod_dict, step_info, rng_step,
-                                               text_tokenizer, top_k, top_p)
+            if len(group) > 1:
+                mod_dict = self._generate_img_target(mod_dict, group, rng_step,
+                                                     top_k, top_p, counts=counts)
+            else:
+                mod_dict = self._generate_one_step(mod_dict, group[0], rng_step,
+                                                   text_tokenizer, top_k, top_p,
+                                                   counts=counts)
+        return mod_dict
+
+    @staticmethod
+    def _group_schedule(schedule: List[dict]) -> List[List[dict]]:
+        """Group consecutive img-target steps of the same (target, scheme, CFG
+        config) so each group runs as ONE fused lax.scan program."""
+        groups: List[List[dict]] = []
+        for step_info in schedule:
+            spec = MODALITY_INFO[step_info["target_domain"]]
+            key = (step_info["target_domain"], step_info.get("scheme"),
+                   tuple(step_info.get("cfg_cond_domains", ())),
+                   isinstance(step_info.get("cfg_scale", 1.0), (list, tuple)))
+            if (spec.type == "img" and groups and groups[-1] and
+                    groups[-1][0].get("_group_key") == key):
+                groups[-1].append(step_info)
+            elif spec.type == "img":
+                groups.append([{**step_info, "_group_key": key}])
+            else:
+                groups.append([step_info])
+        return groups
+
+    def _generate_img_target(self, mod_dict, group: List[dict], rng_step,
+                             top_k: Optional[float] = None,
+                             top_p: Optional[float] = None,
+                             counts: Optional[Dict[str, int]] = None):
+        """Run all steps of one img target via the fused scan program."""
+        top_k = self.top_k if top_k is None else top_k
+        top_p = self.top_p if top_p is None else top_p
+        use_filter = bool(top_k or top_p)
+        first = group[0]
+        target_mod = first["target_domain"]
+        scheme = first["scheme"].lower()
+        conds = tuple(first.get("cfg_cond_domains", ()))
+        cfg_scales = [float(s.get("cfg_scale", 1.0)) for s in group]
+        use_cfg = any(c != 1.0 for c in cfg_scales) and len(conds) > 0
+        num_selects = np.asarray([int(s["num_tokens"]) for s in group], np.int32)
+        temps = np.asarray([float(s["temperature"]) for s in group], np.float32)
+
+        if counts is None:
+            counts = self._init_valid_counts(mod_dict)
+        # budget must cover the LAST step, when all this target's accepted
+        # tokens are already encoder inputs
+        end_counts = dict(counts)
+        if target_mod in end_counts:
+            cap = int(np.prod(mod_dict[target_mod]["input_mask"].shape[1:]))
+            end_counts[target_mod] = min(
+                end_counts[target_mod] + int(num_selects.sum()), cap)
+        enc_budget = self._encoder_budget(end_counts, mod_dict)
+
+        fn = self._img_target_fn(target_mod, scheme, conds if use_cfg else (),
+                                 use_cfg, len(group), use_filter=use_filter,
+                                 enc_budget=enc_budget)
+        tensor, input_mask, target_mask = fn(
+            self.variables, mod_dict, jnp.asarray(num_selects), jnp.asarray(temps),
+            jnp.asarray(cfg_scales, jnp.float32) if use_cfg
+            else jnp.ones(len(group), jnp.float32),
+            jnp.float32(top_k), jnp.float32(top_p), rng_step,
+        )
+        d = dict(mod_dict[target_mod])
+        d.update(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
+        mod_dict[target_mod] = d
+        if target_mod in counts:
+            counts[target_mod] = end_counts[target_mod]
         return mod_dict
 
     def generate_iter(self, mod_dict, schedule, rng=None, text_tokenizer=None,
@@ -393,15 +551,18 @@ class GenerationSampler:
         """Step-by-step iterator variant (reference generate.py:1098-1166)."""
         if rng is None:
             rng = jax.random.key(seed if seed is not None else 0)
+        counts = self._init_valid_counts(mod_dict)
         mod_dict = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
         for step_info in schedule:
             rng, rng_step = jax.random.split(rng)
             mod_dict = self._generate_one_step(mod_dict, step_info, rng_step,
-                                               text_tokenizer, top_k, top_p)
+                                               text_tokenizer, top_k, top_p,
+                                               counts=counts)
             yield mod_dict
 
     def _generate_one_step(self, mod_dict, step_info, rng_step, text_tokenizer=None,
-                           top_k: Optional[float] = None, top_p: Optional[float] = None):
+                           top_k: Optional[float] = None, top_p: Optional[float] = None,
+                           counts: Optional[Dict[str, int]] = None):
         top_k = self.top_k if top_k is None else top_k
         top_p = self.top_p if top_p is None else top_p
         use_filter = bool(top_k or top_p)
@@ -411,13 +572,15 @@ class GenerationSampler:
         conds = tuple(step_info.get("cfg_cond_domains", ()))
         use_cfg = (not isinstance(cfg_scale, (list, tuple))) and cfg_scale != 1.0 and len(conds) > 0
         spec = MODALITY_INFO[target_mod]
+        if counts is None:  # direct single-step callers (tests) pay one sync
+            counts = self._init_valid_counts(mod_dict)
+        enc_budget = self._encoder_budget(counts, mod_dict)
 
         if spec.type == "img":
             scheme = step_info["scheme"].lower()
             num_select = int(step_info["num_tokens"])
             fn = self._img_step_fn(target_mod, scheme, conds if use_cfg else (), use_cfg,
-                                   use_filter=use_filter,
-                                   enc_budget=self._encoder_budget(mod_dict))
+                                   use_filter=use_filter, enc_budget=enc_budget)
             tensor, input_mask, target_mask = fn(
                 self.variables, mod_dict,
                 jnp.int32(num_select), jnp.float32(temp), jnp.float32(cfg_scale if use_cfg else 1.0),
@@ -426,13 +589,17 @@ class GenerationSampler:
             d = dict(mod_dict[target_mod])
             d.update(tensor=tensor, input_mask=input_mask, target_mask=target_mask)
             mod_dict[target_mod] = d
+            if target_mod in counts:
+                # accepted tokens become encoder inputs for subsequent steps;
+                # exactly num_select are accepted (schedules sum to the grid size)
+                cap = int(np.prod(d["input_mask"].shape[1:]))
+                counts[target_mod] = min(counts[target_mod] + num_select, cap)
         elif spec.type in SEQ:
             max_len = min(
                 spec.resolved_max_tokens(), int(mod_dict[target_mod]["tensor"].shape[1])
             )
             fn = self._ar_step_fn(target_mod, conds if use_cfg else (), use_cfg, max_len,
-                                  use_filter=use_filter,
-                                  enc_budget=self._encoder_budget(mod_dict))
+                                  use_filter=use_filter, enc_budget=enc_budget)
             out_ids, _length = fn(
                 self.variables, mod_dict, jnp.float32(temp),
                 jnp.float32(cfg_scale if use_cfg else 1.0),
@@ -441,6 +608,8 @@ class GenerationSampler:
             mod_dict = self.merge_sequences(
                 mod_dict, np.asarray(out_ids), target_mod, text_tokenizer
             )
+            if target_mod in counts:
+                counts[target_mod] = self._last_merge_valid
         else:
             raise ValueError(f"invalid target modality type {spec.type}")
         return mod_dict

@@ -455,9 +455,8 @@ class FourM(nn.Module):
 
     def decode_one_token(self, y_t, caches, cross_kvs, enc_mask, step_idx):
         """One KV-cached decoder step. y_t: (B, 1, D); caches: per-layer (k, v)
-        with shape (B, H, L_max, Dh); returns (normed output, new caches)."""
-        if enc_mask is not None and enc_mask.ndim == 2:
-            enc_mask = enc_mask[:, None, :]
+        in the (B, H, Dh, L_max) decode layout (dense TPU memory tiles — see
+        ops.transformer.decode_attention); returns (normed output, new caches)."""
         new_caches = []
         for blk, (ck, cv), (xk, xv) in zip(self.decoder, caches, cross_kvs):
             y_t, ck, cv = blk.step(y_t, ck, cv, xk, xv, enc_mask, step_idx)
@@ -465,10 +464,10 @@ class FourM(nn.Module):
         return self.decoder_norm(y_t), new_caches
 
     def init_kv_caches(self, batch_size: int, max_len: int):
-        """Zeroed per-layer self-attention KV caches."""
+        """Zeroed per-layer self-attention KV caches, (B, H, Dh, L) layout."""
         cfg = self.config
         head_dim = cfg.dim // cfg.num_heads
-        shape = (batch_size, cfg.num_heads, max_len, head_dim)
+        shape = (batch_size, cfg.num_heads, head_dim, max_len)
         zeros = jnp.zeros(shape, cfg.compute_dtype)
         return [(zeros, zeros) for _ in range(cfg.decoder_depth)]
 

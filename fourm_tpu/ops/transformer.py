@@ -129,8 +129,11 @@ def dot_product_attention(
     """Attention core. q,k,v: (B, H, N|M, Dh). bias: fp32 (B, 1|H, N, M) additive.
 
     Logits/softmax in fp32 for bf16 stability; output cast back to q.dtype.
+    Tiny-query shapes (KV-cached AR decode, N<=2) always take the XLA path:
+    per-call Pallas launch overhead (~24 kernels/decode-step across the
+    decoder) measured +1.2 ms/token on v5e vs fused XLA ops.
     """
-    if _ATTN_IMPL == "pallas" and jax.default_backend() == "tpu":
+    if _ATTN_IMPL == "pallas" and jax.default_backend() == "tpu" and q.shape[2] > 2:
         from ..kernels.attention import pallas_attention
 
         return pallas_attention(q, k, v, bias, allow_zero_attn=allow_zero_attn)
@@ -142,6 +145,38 @@ def dot_product_attention(
     probs = softmax1(logits) if allow_zero_attn else jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v)
     return out
+
+
+def decode_attention(
+    q: jnp.ndarray,  # (B, H, 1, Dh)
+    k_dm: jnp.ndarray,  # (B, H, Dh, M) — decode layout (lanes = M, dense tiles)
+    v_dm: jnp.ndarray,  # (B, H, Dh, M)
+    bias: Optional[jnp.ndarray] = None,  # fp32 (B|1, 1|H, M) additive
+    allow_zero_attn: bool = False,
+) -> jnp.ndarray:
+    """Single-query attention against (B, H, Dh, M)-layout K/V.
+
+    KV-cached decoding is bandwidth-bound on reading K/V every token. TPU
+    memory tiles are (8 sublanes x 128 lanes) over the last two dims; with the
+    standard (B, H, M, Dh=64) layout every tile is half-empty and each read
+    moves 2x the logical bytes (measured 134 us vs the 61 us speed-of-light
+    for a 50 MB cross-KV read on v5e). This formulation keeps M on lanes:
+    q*k reduces over Dh (sublanes), p*v reduces over M (lanes), both reading
+    dense tiles. Math identical to dot_product_attention (fp32 accumulation,
+    fp32 softmax; bf16 products are exact in fp32).
+
+    Returns (B, H, 1, Dh).
+    """
+    scale = q.shape[-1] ** -0.5
+    q_d = jnp.swapaxes(q, 2, 3).astype(jnp.float32)  # (B, H, Dh, 1)
+    logits = jnp.sum(q_d * k_dm.astype(jnp.float32), axis=2)  # (B, H, M)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = softmax1(logits) if allow_zero_attn else jax.nn.softmax(logits, axis=-1)
+    probs = probs.astype(v_dm.dtype)  # (B, H, M)
+    out = jnp.sum(probs[:, :, None, :] * v_dm, axis=3)  # (B, H, Dh)
+    return out[:, :, None, :].astype(q.dtype)
 
 
 class LayerNorm(nn.Module):
@@ -252,20 +287,28 @@ class Attention(nn.Module):
     def step(
         self,
         x_t: jnp.ndarray,  # (B, 1, C)
-        cache_k: jnp.ndarray,  # (B, H, L, Dh)
+        cache_k: jnp.ndarray,  # (B, H, Dh, L) — decode ("DM") layout, see below
         cache_v: jnp.ndarray,
         step_idx: jnp.ndarray,  # scalar int
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """One causal decode step: append K/V at step_idx, attend over cache[:idx]."""
+        """One causal decode step: append K/V at step_idx, attend over cache[:idx].
+
+        The cache uses the (B, H, Dh, L) decode layout: TPU tiles the last two
+        dims (8 sublanes x 128 lanes), so a (.., L, Dh=64) cache fills only
+        half of every 128-lane tile and each read moves 2x the bytes. With L
+        on lanes and Dh=64 on sublanes the tiles are dense — measured ~2x
+        decode-attention bandwidth on v5e (the dominant per-token cost)."""
         B, _, C = x_t.shape
         q, k, v = self._split_qkv(x_t)  # (B, H, 1, Dh)
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k.astype(cache_k.dtype), step_idx, axis=2)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v.astype(cache_v.dtype), step_idx, axis=2)
-        L = cache_k.shape[2]
+        k_d = jnp.swapaxes(k, 2, 3).astype(cache_k.dtype)  # (B, H, Dh, 1)
+        v_d = jnp.swapaxes(v, 2, 3).astype(cache_v.dtype)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_d, step_idx, axis=3)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_d, step_idx, axis=3)
+        L = cache_k.shape[3]
         pos = jnp.arange(L)
-        bias = jnp.where(pos[None, None, None, :] <= step_idx, 0.0, MASK_FILL_VALUE).astype(jnp.float32)
-        out = dot_product_attention(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), bias,
-                                    self.allow_zero_attn)
+        bias = jnp.where(pos[None, None, :] <= step_idx, 0.0, MASK_FILL_VALUE
+                         ).astype(jnp.float32)  # (1, 1, L)
+        out = decode_attention(q, cache_k, cache_v, bias, self.allow_zero_attn)
         out = jnp.moveaxis(out, 1, 2).reshape(B, 1, C)
         return self.proj(out), cache_k, cache_v
 
@@ -317,6 +360,25 @@ class CrossAttention(nn.Module):
         B, N, C = x.shape
         q = self.project_q(x)
         out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+    def project_kv_decode(self, context: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """K/V in the (B, H, Dh, M) decode layout (see decode_attention)."""
+        k, v = self.project_kv(context)
+        return jnp.swapaxes(k, 2, 3), jnp.swapaxes(v, 2, 3)
+
+    def attend_decode(self, x_t, k_dm, v_dm, mask=None):
+        """Single-token cross-attention against decode-layout K/V.
+        mask: bool (B, M) or (B, 1, M), True = masked out."""
+        B, N, C = x_t.shape
+        q = self.project_q(x_t)  # (B, H, 1, Dh)
+        bias = None
+        if mask is not None:
+            if mask.ndim == 3:
+                mask = mask[:, 0]
+            bias = jnp.where(mask, MASK_FILL_VALUE, 0.0).astype(jnp.float32)[:, None, :]
+        out = decode_attention(q, k_dm, v_dm, bias, self.allow_zero_attn)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
         return self.proj(out)
 
@@ -452,21 +514,23 @@ class DecoderBlock(nn.Module):
         return x
 
     def cross_kv(self, context: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.cross_attn.project_kv(self.context_norm(context))
+        """Cross K/V for decoding, in the (B, H, Dh, M) decode layout
+        (dense memory tiles — see decode_attention)."""
+        return self.cross_attn.project_kv_decode(self.context_norm(context))
 
     def step(
         self,
         x_t: jnp.ndarray,  # (B, 1, C)
-        cache_k: jnp.ndarray,
+        cache_k: jnp.ndarray,  # (B, H, Dh, L) decode layout
         cache_v: jnp.ndarray,
-        cross_k: jnp.ndarray,
+        cross_k: jnp.ndarray,  # (B, H, Dh, M) decode layout
         cross_v: jnp.ndarray,
-        xa_mask: Optional[jnp.ndarray],
+        xa_mask: Optional[jnp.ndarray],  # bool (B, M) / (B, 1, M)
         step_idx: jnp.ndarray,
     ):
         sa_out, cache_k, cache_v = self.self_attn.step(self.norm1(x_t), cache_k, cache_v, step_idx)
         x_t = x_t + sa_out
-        x_t = x_t + self.cross_attn.attend(self.query_norm(x_t), cross_k, cross_v, xa_mask)
+        x_t = x_t + self.cross_attn.attend_decode(self.query_norm(x_t), cross_k, cross_v, xa_mask)
         x_t = x_t + self.mlp(self.norm2(x_t))
         return x_t, cache_k, cache_v
 

@@ -76,7 +76,8 @@ class TestKVCacheParity:
         full = blk.apply(params, x, ctx, causal, None)
 
         cross_k, cross_v = blk.apply(params, ctx, method="cross_kv")
-        ck = jnp.zeros((B, H, L, D // H), jnp.float32)
+        # decode layout: (B, H, Dh, L) — dense TPU tiles (ops.transformer)
+        ck = jnp.zeros((B, H, D // H, L), jnp.float32)
         cv = jnp.zeros_like(ck)
         outs = []
         for t in range(L):
@@ -399,7 +400,8 @@ class TestEncoderCompaction:
         sampler = GenerationSampler(model, params)
         mod_dict = make_caption_cond()
         init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
-        budget = sampler._encoder_budget(mod_dict)
+        counts = sampler._init_valid_counts(mod_dict)
+        budget = sampler._encoder_budget(counts, mod_dict)
         # 6 valid caption tokens -> bucket 256, stream = L_cap + 196 > 256
         assert budget == 256
 
@@ -421,3 +423,61 @@ class TestEncoderCompaction:
         # fully decoded: nothing left to decode, all grid tokens became inputs
         assert np.asarray(out["tok_rgb@224"]["target_mask"]).all()
         assert not np.asarray(out["tok_rgb@224"]["input_mask"]).any()
+
+
+class TestValidCountTracking:
+    """The encoder-compaction budget is tracked analytically on host (zero
+    device syncs per step); these tests pin the analytic counts to the actual
+    device masks across a multi-step chained schedule."""
+
+    def test_counts_match_masks_after_chain(self, tiny_gen):
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "tok_rgb@224", 1, 196)
+        counts = sampler._init_valid_counts(mod_dict)
+        schedule = build_chained_generation_schedules(
+            cond_domains=["caption"], target_domains=["tok_rgb@224"],
+            tokens_per_target=[196], autoregression_schemes=["maskgit"],
+            decoding_steps=[3], token_decoding_schedules=["cosine"],
+            temps=[1.0], temp_schedules=["constant"],
+            cfg_scales=[2.0], cfg_schedules=["constant"],
+        )
+        md = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
+        rng = jax.random.key(0)
+        for step_info in schedule:
+            rng, rs = jax.random.split(rng)
+            md = sampler._generate_one_step(md, step_info, rs, counts=counts)
+            for mod, c in counts.items():
+                actual = int((~np.asarray(md[mod]["input_mask"])).sum(axis=1).max())
+                assert c == actual, (mod, c, actual)
+
+    def test_counts_match_after_sequence_merge(self, tiny_gen, tmp_path):
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens,
+            train_unified_wordpiece_tokenizer,
+        )
+
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("a photo of a cat\n" * 50)
+        tok = train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=300,
+            sentinel_tokens=generate_sentinel_tokens(num=20), show_progress=False)
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params, text_tokenizer=tok)
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "caption", 1, 64)
+        counts = sampler._init_valid_counts(mod_dict)
+        schedule = build_chained_generation_schedules(
+            cond_domains=[], target_domains=["caption"],
+            tokens_per_target=[None], autoregression_schemes=["autoregressive"],
+            decoding_steps=[None], token_decoding_schedules=[None],
+            temps=[0.7], temp_schedules=["constant"],
+            cfg_scales=[1.0], cfg_schedules=["constant"],
+        )
+        md = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in mod_dict.items()}
+        for step_info in schedule:
+            md = sampler._generate_one_step(md, step_info, jax.random.key(1),
+                                            counts=counts)
+        actual = int((~np.asarray(md["caption"]["input_mask"])).sum(axis=1).max())
+        assert counts["caption"] == actual
