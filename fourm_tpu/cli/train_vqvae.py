@@ -60,6 +60,13 @@ def get_parser():
     p.add_argument("--percept_loss_ckpt", default=None,
                    help="LPIPS weights (.safetensors/.npz of the reference torch "
                         "state dict); random init + warning when absent")
+    p.add_argument("--fid_extractor", default="inception",
+                   choices=["inception", "vgg", "none"],
+                   help="FID feature extractor for eval: InceptionV3 (reference-"
+                        "comparable, run_training_vqvae.py:47-53) or VGG pool5")
+    p.add_argument("--fid_ckpt", default=None,
+                   help="InceptionV3 weights (pt_inception .pth / .safetensors/"
+                        ".npz); random init + warning when absent")
     # divae
     p.add_argument("--num_train_timesteps", type=int, default=1000)
     p.add_argument("--beta_schedule", default="squaredcos_cap_v2")
@@ -255,6 +262,25 @@ def main(args=None):
             print("[lpips] WARNING: no --percept_loss_ckpt; using RANDOM VGG "
                   "weights (architecture-only mode, not a trained metric)")
 
+    # InceptionV3 FID/IS extractor (reference run_training_vqvae.py:47-53 uses
+    # torchmetrics FID/InceptionScore over InceptionV3) — built lazily at first
+    # eval so training-only runs never pay for it
+    _fid_state = {}
+
+    def get_fid_extractor():
+        if args.fid_extractor != "inception" or args.n_labels is not None:
+            return None
+        if "model" not in _fid_state:
+            from ..vq.inception import load_inception
+
+            _fid_state["model"], _fid_state["vars"] = load_inception(args.fid_ckpt)
+            if args.fid_ckpt:
+                print(f"[fid] InceptionV3 weights from {args.fid_ckpt}")
+            else:
+                print("[fid] WARNING: no --fid_ckpt; InceptionV3 runs with RANDOM "
+                      "weights (pipeline exercise only, not a comparable FID)")
+        return _fid_state["model"], _fid_state["vars"]
+
     def train_step(params, codebook, opt_state, batch, rng):
         rng_noise, rng_t, rng_q = jax.random.split(rng, 3)
 
@@ -324,23 +350,42 @@ def main(args=None):
             pred_np, tgt_np = np.asarray(recimg, np.float32), np.asarray(batch, np.float32)
             m = eval_metrics(pred_np, tgt_np, np.asarray(tokens), args.codebook_size)
             if args.n_labels is None and pred_np.shape[-1] == 3:
-                from ..vq.percept_losses import frechet_distance, ms_ssim
+                from ..vq.percept_losses import (
+                    frechet_distance,
+                    inception_score,
+                    ms_ssim,
+                )
 
                 m["ms_ssim"] = ms_ssim(pred_np, tgt_np)
                 if lpips_model is not None:
                     m["lpips"] = float(np.mean(np.asarray(lpips_model.apply(
                         lpips_vars, jnp.asarray(pred_np), jnp.asarray(tgt_np)))))
-                    # FID over VGG pool features (Frechet math identical to the
-                    # reference torchmetrics FID; InceptionV3 features when
-                    # those weights are available)
+                fid_ext = get_fid_extractor()
+                if fid_ext is not None and pred_np.shape[0] > 1:
+                    # reference-comparable FID/IS: InceptionV3 features/probs
+                    # (run_training_vqvae.py:1427-1640); images -> [0, 1]
+                    from ..vq.inception import inception_features_and_probs
+
+                    fm_model, fm_vars = fid_ext
+                    lo, hi = tgt_np.min(), tgt_np.max()
+                    scale = (hi - lo) or 1.0
+                    fp_, pp_ = inception_features_and_probs(
+                        fm_model, fm_vars, (pred_np - lo) / scale)
+                    ft_, _ = inception_features_and_probs(
+                        fm_model, fm_vars, (tgt_np - lo) / scale)
+                    m["fid"] = frechet_distance(ft_, fp_)
+                    m["inception_score"] = inception_score(pp_, splits=1)[0]
+                elif args.fid_extractor == "vgg" and lpips_model is not None \
+                        and pred_np.shape[0] > 1:
+                    # FID over VGG pool features (Frechet math identical; NOT
+                    # comparable to published InceptionV3 FID numbers)
                     feats = lpips_model.apply(lpips_vars, jnp.asarray(pred_np),
                                               method=lambda mdl, x: mdl.net(x))
                     feats_t = lpips_model.apply(lpips_vars, jnp.asarray(tgt_np),
                                                 method=lambda mdl, x: mdl.net(x))
-                    fp = np.asarray(feats[-1].mean(axis=(1, 2)))
-                    ft = np.asarray(feats_t[-1].mean(axis=(1, 2)))
-                    if fp.shape[0] > 1:
-                        m["vgg_fid"] = frechet_distance(ft, fp)
+                    fp_ = np.asarray(feats[-1].mean(axis=(1, 2)))
+                    ft_ = np.asarray(feats_t[-1].mean(axis=(1, 2)))
+                    m["vgg_fid"] = frechet_distance(ft_, fp_)
             print(f"[eval] {m}", flush=True)
             jsonl.write({"step": step, **{f"eval_{k}": v for k, v in m.items()}})
         if (step + 1) % args.save_ckpt_freq == 0 or step == args.total_steps - 1:

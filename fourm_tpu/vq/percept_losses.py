@@ -204,17 +204,30 @@ def ms_ssim(
     return float(np.prod(vals ** np.asarray(weights)))
 
 
-def frechet_distance(feats_real: np.ndarray, feats_fake: np.ndarray) -> float:
+def frechet_distance(feats_real: np.ndarray, feats_fake: np.ndarray,
+                     eps: float = 1e-6) -> float:
     """FID over ANY feature space (reference uses torchmetrics
     FrechetInceptionDistance; the Frechet math is identical, the feature
-    extractor is pluggable — InceptionV3 when its weights are available)."""
+    extractor is pluggable — vq.inception.InceptionV3 is the
+    reference-comparable default). Small-sample covariances are near-singular;
+    the standard eps*I regularization (pytorch-fid calculate_frechet_distance)
+    keeps sqrtm well-conditioned and warning-free."""
     from scipy import linalg
+
+    import warnings
 
     mu1, mu2 = feats_real.mean(0), feats_fake.mean(0)
     s1 = np.cov(feats_real, rowvar=False)
     s2 = np.cov(feats_fake, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    with warnings.catch_warnings():
+        # sqrtm warns (LinAlgWarning) on near-singular products before we can
+        # regularize; the eps*I retry below is the canonical fix
+        warnings.simplefilter("ignore")
+        covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(s1.shape[0]) * eps
+            covmean, _ = linalg.sqrtm((s1 + offset) @ (s2 + offset), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean))

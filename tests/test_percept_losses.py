@@ -139,6 +139,9 @@ def test_vqvae_cli_with_lpips_smoke(tmp_path):
         "--total_steps", "2", "--warmup_steps", "1", "--eval_freq", "2",
         "--print_freq", "1", "--dtype", "float32",
         "--percept_loss_weight", "0.1",
+        # vgg extractor: the InceptionV3 path is covered by test_inception.py;
+        # a 299px InceptionV3 compile would dominate this CPU smoke test
+        "--fid_extractor", "vgg",
         "--output_dir", str(tmp_path / "vq"),
     ])
 
