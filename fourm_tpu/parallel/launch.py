@@ -27,9 +27,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     On Cloud TPU pods all three args are discovered automatically; on other
     clusters pass them explicitly (the analogue of torchrun's env rank vars the
-    reference reads in dist.py:78-90)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    reference reads in dist.py:78-90).
+
+    NOTE: must run before anything touches the XLA backend — so the
+    already-initialized check reads the distributed client state directly
+    instead of calling jax.process_count() (which would initialize the
+    backend and make jax.distributed.initialize fail)."""
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -161,3 +161,119 @@ def test_tensor_parallel_train_step(tiny_setup):
     step = build_train_step(model, tx, 32, 32, mesh=mesh3, state_shardings=st_shard, donate=False)
     state, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+class TestMultiDeviceVQ:
+    """Multi-device evidence for the codebook EMA/dead-code machinery: the
+    reference's only nontrivial collective (quantize_lucid.py:91-125 all_gather/
+    broadcast + sync_codebook, vqvae.py:93) is replaced here by global
+    reductions under SPMD jit. These tests PROVE a batch-sharded VQ train step
+    produces the same codebook state and indices as the single-device run on
+    the same global batch."""
+
+    def _make_vq(self):
+        from fourm_tpu.vq import VQ
+
+        return VQ(image_size=32, patch_size=4, enc_type="vit_t_enc",
+                  codebook_size=32, latent_dim=8, ema_decay=0.5,
+                  threshold_ema_dead_code=0.5, kmeans_init=False)
+
+    def test_sharded_vq_train_step_matches_single_device(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        model = self._make_vq()
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.key(0), "rng": jax.random.key(1)}, x[:1])
+
+        def train_step(v, x, r):
+            (_q, loss, ind), mut = model.apply(
+                v, x, train=True, mutable=["codebook"], rngs={"rng": r},
+                method="encode")
+            return ind, loss, mut["codebook"]["quantize"]
+
+        # single device
+        ind1, loss1, cb1 = jax.jit(train_step)(variables, x, jax.random.key(2))
+
+        # 8-device mesh, batch sharded over 'data', params replicated
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        ind8, loss8, cb8 = jax.jit(train_step)(vs, xs, jax.random.key(2))
+
+        np.testing.assert_array_equal(np.asarray(ind1), np.asarray(ind8))
+        np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+        for k in ("embed", "embed_avg", "cluster_size"):
+            np.testing.assert_allclose(
+                np.asarray(cb1[k]), np.asarray(cb8[k]), rtol=1e-5, atol=1e-6,
+                err_msg=f"codebook[{k}] diverged under batch sharding")
+
+    def test_dead_code_expiry_consistent_under_sharding(self):
+        """Force dead codes (huge threshold) and check the replacement gather
+        is identical under the sharded run (explicit PRNG, global batch)."""
+        from fourm_tpu.vq import VQ
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        model = VQ(image_size=32, patch_size=4, enc_type="vit_t_enc",
+                   codebook_size=32, latent_dim=8, ema_decay=0.5,
+                   threshold_ema_dead_code=100.0, kmeans_init=False)
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.key(0), "rng": jax.random.key(1)}, x[:1])
+
+        def step(v, x, r):
+            _out, mut = model.apply(
+                v, x, train=True, mutable=["codebook"], rngs={"rng": r})
+            return mut["codebook"]["quantize"]["embed"]
+
+        e1 = jax.jit(step)(variables, x, jax.random.key(7))
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        e8 = jax.jit(step)(vs, xs, jax.random.key(7))
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e8),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestMultiDeviceGeneration:
+    """One MaskGIT generation step under a data-sharded mesh equals the
+    single-device step (generation under SPMD — serving-style sharding)."""
+
+    def test_maskgit_step_batch_sharded(self, tiny_setup):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        model = tiny_setup
+        rng = np.random.RandomState(1)
+        B, n = 8, 196
+        mod_dict = {
+            "tok_rgb@224": {
+                "tensor": jnp.asarray(rng.randint(0, 16384, (B, n)).astype(np.int32)),
+                "input_mask": jnp.ones((B, n), bool),
+                "target_mask": jnp.zeros((B, n), bool),
+                "decoder_attention_mask": jnp.zeros((B, n), jnp.int32),
+            },
+            "caption": {
+                "tensor": jnp.asarray(rng.randint(1, 30000, (B, 64)).astype(np.int32)),
+                "input_mask": jnp.asarray(np.tile(np.arange(64) >= 8, (B, 1))),
+                "target_mask": jnp.ones((B, 64), bool),
+                "decoder_attention_mask": jnp.zeros((B, 64), jnp.int32),
+            },
+        }
+        params = model.init(jax.random.key(0), tiny_batch(1, rng), 32, 32)
+        sa_valid = ~np.asarray(mod_dict["tok_rgb@224"]["target_mask"])
+
+        def fwd(p, md, sa):
+            return model.apply(p, md, "tok_rgb@224", sa, 256,
+                               method="forward_generation_img")
+
+        logits1 = jax.jit(fwd)(params, mod_dict, jnp.asarray(sa_valid))
+
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        shard_b = NamedSharding(mesh, P("data"))
+        md_s = jax.tree.map(lambda x: jax.device_put(x, shard_b), mod_dict)
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        logits8 = jax.jit(fwd)(ps, md_s, jax.device_put(jnp.asarray(sa_valid), shard_b))
+        np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits8),
+                                   rtol=2e-4, atol=2e-4)
