@@ -24,6 +24,7 @@ reference exists.
 
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -246,6 +247,17 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# train bench failed: {e}")
 
+    # XL is part of the named BASELINE metric ("4M-21 B/XL") — in the default
+    # run since round 3; the persistent compile cache absorbs the cost after
+    # the first run. BENCH_SKIP_XL=1 opts out for quick iterations.
+    if not os.environ.get("BENCH_SKIP_XL"):
+        try:
+            xl = bench_generation(jax, jnp, tok, "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
+                                  batch=4, targets=["tok_clip@224", "tok_semseg@224", "caption"],
+                                  label="4M-21 XL 3-target chain")
+            extras["xl_chain_samples_per_sec"] = round(xl, 3)
+        except Exception as e:
+            print(f"# XL bench failed: {e}")
     if os.environ.get("BENCH_FULL"):
         try:
             sr = bench_generation(jax, jnp, tok, "fm_large_24e_24d_swiglu_nobias",
@@ -255,13 +267,24 @@ def main():
             extras["sr448_samples_per_sec"] = round(sr, 3)
         except Exception as e:
             print(f"# SR bench failed: {e}")
-        try:
-            xl = bench_generation(jax, jnp, tok, "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
-                                  batch=4, targets=["tok_clip@224", "tok_semseg@224", "caption"],
-                                  label="4M-21 XL 3-target chain")
-            extras["xl_chain_samples_per_sec"] = round(xl, 3)
-        except Exception as e:
-            print(f"# XL bench failed: {e}")
+
+    # vs_baseline: analytical estimate of the REFERENCE pipeline on one A100
+    # for the same chain/batch (no A100 exists here; derivation in BASELINE.md
+    # and scripts/estimate_reference_a100.py — auditable FLOP accounting of
+    # the reference's no-KV-cache / sequential-CFG / re-encode-per-step paths).
+    # vs_baseline uses the realistic "eager" scenario; _peak_bound divides by
+    # the unattainable 100%-MFU zero-overhead bound (hard floor on the ratio).
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from estimate_reference_a100 import reference_a100_samples_per_sec
+
+        ref = reference_a100_samples_per_sec()
+        extras["ref_a100_samples_per_sec_est"] = round(ref["eager"], 3)
+        extras["vs_baseline_peak_bound"] = round(sps / ref["peak"], 3)
+        vs_baseline = round(sps / ref["eager"], 3)
+    except Exception as e:  # pragma: no cover
+        print(f"# vs_baseline estimate failed: {e}")
+        vs_baseline = None
 
     print(json.dumps({
         "metric": "RGB-to-all chained generation samples/sec/chip (4M-21 B, FULL "
@@ -269,7 +292,7 @@ def main():
                   "attention, bf16, worst-case EOS)",
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
         **extras,
     }))
 

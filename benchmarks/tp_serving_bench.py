@@ -11,7 +11,12 @@ Prints one JSON line: tokens/sec + per-device parameter bytes (must shrink ~1/N)
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# runnable from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

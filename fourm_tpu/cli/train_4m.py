@@ -150,18 +150,26 @@ def load_finetune_weights(path: str, config, init_variables):
     return merge_loaded_params(init_variables, loaded)
 
 
+_EVAL_FN_CACHE = {}
+
+
 def evaluate(model, params, val_loader, num_input_tokens, num_target_tokens,
              loss_type, max_samples, global_bs):
     """Held-out eval with (optionally pinned) token budgets so val loss is
-    comparable across runs (reference run_training_4m.py:798-832)."""
+    comparable across runs (reference run_training_4m.py:798-832). The jitted
+    eval step is cached across calls (keyed on model identity + budgets +
+    loss type) so periodic eval cycles don't pay a recompile each time."""
     import jax
     import jax.numpy as jnp
 
-    eval_fn = jax.jit(
-        lambda p, b: model.apply(p, b, num_input_tokens, num_target_tokens,
-                                 loss_type=loss_type),
-        static_argnums=(),
-    )
+    key = (id(model), num_input_tokens, num_target_tokens, loss_type)
+    eval_fn = _EVAL_FN_CACHE.get(key)
+    if eval_fn is None:
+        eval_fn = jax.jit(
+            lambda p, b: model.apply(p, b, num_input_tokens, num_target_tokens,
+                                     loss_type=loss_type),
+        )
+        _EVAL_FN_CACHE[key] = eval_fn
     losses, mod_losses = [], {}
     seen = 0
     for batch in val_loader:
