@@ -71,10 +71,12 @@ def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label:
     init_batch = jax.tree.map(
         jnp.asarray, synthetic_mod_batch(enc_mods, 1, 64, 64, seed=0)
     )
-    if os.environ.get("BENCH_BF16_PARAMS") or "xlarge" in model_name:
-        # serving-mode weights: init directly to bf16 inside one jit so the
-        # fp32 master copy never materializes (XL fp32 params alone are 11GB —
-        # over a v5e-1 chip's HBM alongside activations)
+    if not os.environ.get("BENCH_FP32_PARAMS"):
+        # serving-mode weights (default since r3): bf16 params halve the
+        # weight streaming that the AR token loop pays EVERY token (traced
+        # ~700us/token of fp32 param copies at 4M-B B=16); init directly to
+        # bf16 inside one jit so the fp32 master copy never materializes
+        # (XL fp32 params alone are 11GB — over a v5e-1 chip's HBM)
         def _init_bf16(r):
             p = model.init(r, init_batch, 64, 64)
             return jax.tree.map(

@@ -180,25 +180,59 @@ def decode_attention(
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm with an optional bias term (reference fm_utils.py:93-112)."""
+    """LayerNorm with an optional bias term (reference fm_utils.py:93-112).
+
+    `__call__(x, return_params=True)` declares the same parameters but returns
+    the raw (weight, bias) arrays instead of normalizing — used by the fused
+    Pallas block fast paths to hand LN params straight into a kernel.
+    """
 
     eps: float = 1e-6
     use_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         dim = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (dim,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+                if self.use_bias else None)
+        if return_params:
+            return weight, bias
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        weight = self.param("weight", nn.initializers.ones, (dim,), jnp.float32)
         y = y * weight
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if bias is not None:
             y = y + bias
         return y.astype(self.dtype)
+
+
+class _Lin(nn.Module):
+    """Parameter holder matching nn.Dense's param tree ({kernel, bias}) so the
+    owning module can route the same weights through either an XLA matmul or a
+    fused Pallas kernel without touching checkpoint names."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def _dense(x, kernel, bias, dtype):
+    # numerically identical to nn.Dense(dtype=dtype): cast everything to the
+    # compute dtype, matmul (f32 MXU accumulation), add bias in compute dtype
+    y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
 
 
 class Mlp(nn.Module):
@@ -211,12 +245,15 @@ class Mlp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        w1, b1 = _Lin(self.hidden_dim, self.use_bias, name="fc1")(x.shape[-1])
+        w2, b2 = _Lin(out_dim, self.use_bias, name="fc2")(self.hidden_dim)
+        if return_params:
+            return w1, b1, w2, b2
+        x = _dense(x, w1, b1, self.dtype)
         x = shard_activation(self.act(x), "mlp_hidden")
-        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
-        return x
+        return _dense(x, w2, b2, self.dtype)
 
 
 class GatedMlp(nn.Module):
@@ -233,14 +270,18 @@ class GatedMlp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         out_dim = self.out_dim or x.shape[-1]
         hidden = int(2 * self.hidden_dim / 3)
-        g = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
-        u = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc3")(x)
+        w1, b1 = _Lin(hidden, self.use_bias, name="fc1")(x.shape[-1])
+        w3, b3 = _Lin(hidden, self.use_bias, name="fc3")(x.shape[-1])
+        w2, b2 = _Lin(out_dim, self.use_bias, name="fc2")(hidden)
+        if return_params:
+            return w1, b1, w2, b2, w3, b3
+        g = _dense(x, w1, b1, self.dtype)
+        u = _dense(x, w3, b3, self.dtype)
         h = shard_activation(self.act(g) * u, "mlp_hidden")
-        x = nn.Dense(out_dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(h)
-        return x
+        return _dense(h, w2, b2, self.dtype)
 
 
 class Attention(nn.Module):
@@ -260,11 +301,47 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
-        self.proj = nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")
+        self._qkv = _Lin(3 * self.dim, self.qkv_bias, name="qkv")
+        self._proj = _Lin(self.dim, self.proj_bias, name="proj")
         if self.qk_norm:
             self.q_norm = LayerNorm(dtype=self.dtype, name="q_norm")
             self.k_norm = LayerNorm(dtype=self.dtype, name="k_norm")
+
+    def qkv(self, x):
+        w, b = self._qkv(x.shape[-1])
+        return _dense(x, w, b, self.dtype)
+
+    def proj(self, x):
+        w, b = self._proj(self.dim)
+        return _dense(x, w, b, self.dtype)
+
+    def fused_prenorm(self, x: jnp.ndarray, norm, mask=None):
+        """Fully-kernelized pre-norm attention half: LN -> QKV (one fused
+        Pallas LN+matmul, no fp32 stats round-trip) -> short-seq MHA kernel
+        -> proj. Returns the (B, N, C) attention branch output (caller adds
+        the residual), or None when the generic path must run. Every custom-
+        call edge carries the same (B, N, .) rank — XLA materializes reshape
+        copies between consecutive custom calls otherwise."""
+        B, N, C = x.shape
+        if (self.qk_norm or N > 1024
+                or not _fused_eligible(None, False, B * N)
+                or 3 * C * C * jnp.dtype(self.dtype).itemsize > 12 * 2**20
+                or not (mask is None or mask.ndim == 2
+                        or (mask.ndim == 3 and mask.shape[1] == 1))):
+            return None
+        from ..kernels.attention import pallas_mha_short
+        from ..kernels.fused_mlp import pallas_ln_matmul
+
+        gamma, beta = norm(x, return_params=True)
+        w, b = self._qkv(C)
+        qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
+                               eps=norm.eps)
+        bias = None
+        if mask is not None:
+            m2 = mask if mask.ndim == 2 else mask[:, 0]
+            bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        out = pallas_mha_short(qkv, self.num_heads, bias, self.allow_zero_attn)
+        return self.proj(out)
 
     def _split_qkv(self, x):
         B, N, C = x.shape
@@ -279,6 +356,25 @@ class Attention(nn.Module):
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         B, N, C = x.shape
+        # short-sequence fast path: consume the fused QKV output directly in a
+        # per-batch-cell Pallas kernel — no (B,H,N,Dh) transposes (profiled
+        # ~2.5x on the ViT-B/196 VQ-tokenize encoder). Key-only masks (B, N)
+        # or (B, 1, N) are supported as an additive bias; qk_norm and query-
+        # dependent masks fall back to the generic path.
+        if (_ATTN_IMPL == "pallas" and jax.default_backend() == "tpu"
+                and not self.qk_norm and N <= 1024 and B * N >= 64
+                and _ACTIVATION_SHARDER.get() is None
+                and (mask is None or mask.ndim == 2
+                     or (mask.ndim == 3 and mask.shape[1] == 1))):
+            from ..kernels.attention import pallas_mha_short
+
+            bias = None
+            if mask is not None:
+                m2 = mask if mask.ndim == 2 else mask[:, 0]
+                bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+            out = pallas_mha_short(self.qkv(x), self.num_heads, bias,
+                                   self.allow_zero_attn)
+            return self.proj(out)
         q, k, v = self._split_qkv(x)
         out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
@@ -421,6 +517,49 @@ def _make_mlp(gated_mlp, dim, mlp_ratio, mlp_bias, act, dtype, name="mlp"):
     return Mlp(hidden_dim=hidden, act=act, use_bias=mlp_bias, dtype=dtype, name=name)
 
 
+def _fused_eligible(mlp, gated: bool, n_rows: int, dim: int = 0) -> bool:
+    """Shared gate for the fused Pallas block fast paths: pallas inference
+    mode on a TPU backend, no TP activation sharder, enough rows to amortize
+    the kernel launch, a kernel-supported activation, and weights small
+    enough to stay VMEM-resident (XL-size MLPs fall back to XLA)."""
+    if _ATTN_IMPL != "pallas" or jax.default_backend() != "tpu":
+        return False
+    if _ACTIVATION_SHARDER.get() is not None:
+        return False
+    if n_rows < 64:  # tiny decode steps: per-call kernel overhead beats the win
+        return False
+    if mlp is None:
+        return True
+    if not (mlp.act is nn.silu if gated else mlp.act is gelu_exact):
+        return False
+    hidden = int(2 * mlp.hidden_dim / 3) if gated else mlp.hidden_dim
+    n_w = 3 if gated else 2
+    w_bytes = n_w * dim * hidden * jnp.dtype(mlp.dtype).itemsize
+    return w_bytes <= 11 * 2**20
+
+
+def _fused_ln_mlp(norm, mlp, x2, gated: bool):
+    """Fused Pallas LN+MLP+residual (kernels/fused_mlp.py) over 2-D token
+    rows; caller has checked _fused_eligible. Profiled on v5e (ViT-B/196,
+    B=64): XLA's matmul+LN-convert fusions run ~25% MXU; the fused kernel
+    keeps LN stats and the fp32 hidden activation in VMEM."""
+    from ..kernels.fused_mlp import pallas_ln_mlp
+
+    gamma, beta = norm(x2, return_params=True)
+    if gated:
+        w1, b1, w2, b2, w3, b3 = mlp(x2, return_params=True)
+    else:
+        w1, b1, w2, b2 = mlp(x2, return_params=True)
+        w3 = b3 = None
+    dt = mlp.dtype
+    return pallas_ln_mlp(
+        x2, gamma, beta,
+        w1.astype(dt), b1, w2.astype(dt), b2,
+        None if w3 is None else w3.astype(dt), b3,
+        eps=norm.eps, gated=gated,
+    )
+
+
 class Block(nn.Module):
     """Pre-LN encoder block (reference fm_utils.py:310-334)."""
 
@@ -456,7 +595,16 @@ class Block(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = x + self.dp(self.attn(self.norm1(x), mask), deterministic)
+        B, N, C = x.shape
+        no_dp = self.drop_path_rate == 0.0 or deterministic
+        mlp_ok = no_dp and _fused_eligible(self.mlp, self.gated_mlp, B * N, C)
+        fused_attn = self.attn.fused_prenorm(x, self.norm1, mask) if no_dp else None
+        if fused_attn is not None:
+            x = x + fused_attn
+        else:
+            x = x + self.dp(self.attn(self.norm1(x), mask), deterministic)
+        if mlp_ok:
+            return _fused_ln_mlp(self.norm2, self.mlp, x, self.gated_mlp)
         x = x + self.dp(self.mlp(self.norm2(x)), deterministic)
         return x
 
@@ -505,11 +653,19 @@ class DecoderBlock(nn.Module):
         xa_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = x + self.dp(self.self_attn(self.norm1(x), sa_mask), deterministic)
+        B, N, C = x.shape
+        no_dp = self.drop_path_rate == 0.0 or deterministic
+        fused_sa = self.self_attn.fused_prenorm(x, self.norm1, sa_mask) if no_dp else None
+        if fused_sa is not None:
+            x = x + fused_sa
+        else:
+            x = x + self.dp(self.self_attn(self.norm1(x), sa_mask), deterministic)
         x = x + self.dp(
             self.cross_attn(self.query_norm(x), self.context_norm(context), xa_mask),
             deterministic,
         )
+        if no_dp and _fused_eligible(self.mlp, self.gated_mlp, B * N, C):
+            return _fused_ln_mlp(self.norm2, self.mlp, x, self.gated_mlp)
         x = x + self.dp(self.mlp(self.norm2(x)), deterministic)
         return x
 
@@ -571,5 +727,9 @@ class CrossAttentionBlock(nn.Module):
             self.cross_attn(self.query_norm(x), self.context_norm(context), xa_mask),
             deterministic,
         )
+        B, N, C = x.shape
+        if ((self.drop_path_rate == 0.0 or deterministic)
+                and _fused_eligible(self.mlp, self.gated_mlp, B * N, C)):
+            return _fused_ln_mlp(self.norm2, self.mlp, x, self.gated_mlp)
         x = x + self.dp(self.mlp(self.norm2(x)), deterministic)
         return x

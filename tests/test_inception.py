@@ -156,11 +156,16 @@ def random_state_dict(variables, num_classes=1008, seed=0):
     return sd
 
 
+# 95px input: InceptionV3 accepts >=75px and the parity math is size-
+# independent — a 299px compile dominates suite wall-clock on the 1-core box
+PARITY_SIZE = 95
+
+
 @pytest.fixture(scope="module", params=[True, False], ids=["fid", "torchvision"])
 def shared(request):
     fid = request.param
     model = InceptionV3(fid_variant=fid)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, PARITY_SIZE, PARITY_SIZE, 3)))
     sd = random_state_dict(variables)
     variables = import_inception_state(sd, variables)
     return model, variables, sd, fid
@@ -170,7 +175,7 @@ class TestInceptionParity:
     def test_features_and_logits_match_torch(self, shared):
         model, variables, sd, fid = shared
         rng = np.random.RandomState(1)
-        x = rng.rand(2, 299, 299, 3).astype(np.float32) * 2 - 1
+        x = rng.rand(2, PARITY_SIZE, PARITY_SIZE, 3).astype(np.float32) * 2 - 1
         feats_j, logits_j = model.apply(variables, jnp.asarray(x))
         with torch.no_grad():
             sd_t = {k: torch.from_numpy(v) for k, v in sd.items()}
@@ -184,11 +189,11 @@ class TestInceptionParity:
     def test_variant_flag_changes_output(self):
         """fid_variant must actually change pooling behavior."""
         m_fid = InceptionV3(fid_variant=True)
-        v = m_fid.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+        v = m_fid.init(jax.random.key(0), jnp.zeros((1, PARITY_SIZE, PARITY_SIZE, 3)))
         sd = random_state_dict(v)
         v = import_inception_state(sd, v)
         m_tv = InceptionV3(fid_variant=False)
-        x = jnp.asarray(np.random.RandomState(2).rand(1, 299, 299, 3).astype(np.float32))
+        x = jnp.asarray(np.random.RandomState(2).rand(1, PARITY_SIZE, PARITY_SIZE, 3).astype(np.float32))
         f1, _ = m_fid.apply(v, x)
         f2, _ = m_tv.apply(v, x)
         assert not np.allclose(np.asarray(f1), np.asarray(f2))
@@ -212,12 +217,12 @@ class TestInceptionEval:
     def test_torch_pth_roundtrip(self, tmp_path):
         """The pt_inception .pth load path (torch.save -> load_inception)."""
         model = InceptionV3()
-        v = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+        v = model.init(jax.random.key(0), jnp.zeros((1, PARITY_SIZE, PARITY_SIZE, 3)))
         sd = random_state_dict(v)
         path = tmp_path / "pt_inception.pth"
         torch.save({k: torch.from_numpy(np.array(val)) for k, val in sd.items()}, path)
         model2, v2 = load_inception(str(path))
-        x = jnp.asarray(np.random.RandomState(3).rand(1, 299, 299, 3).astype(np.float32))
+        x = jnp.asarray(np.random.RandomState(3).rand(1, PARITY_SIZE, PARITY_SIZE, 3).astype(np.float32))
         f_a, _ = model.apply(import_inception_state(sd, v), x)
         f_b, _ = model2.apply(v2, x)
         np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_b), atol=1e-6)

@@ -107,3 +107,177 @@ class TestFlashAttention:
         ours = flash_attention(q, q, q, None, allow_zero_attn=True,
                                block_q=128, block_k=128, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=2e-5)
+
+
+class TestMHAShort:
+    """pallas_mha_short (per-batch-cell, heads in-kernel) vs the generic
+    attention math — the VQ-tokenize encoder fast path."""
+
+    def _ref(self, qkv, H, bias=None, allow_zero_attn=False):
+        from fourm_tpu.ops.transformer import dot_product_attention
+
+        B, N, C3 = qkv.shape
+        Dh = C3 // (3 * H)
+        q, k, v = [jnp.moveaxis(qkv.reshape(B, N, 3, H, Dh)[:, :, i], 1, 2)
+                   for i in range(3)]
+        b4 = None if bias is None else bias[:, None, None, :]
+        out = dot_product_attention(q, k, v, b4, allow_zero_attn)
+        return jnp.moveaxis(out, 1, 2).reshape(B, N, H * Dh)
+
+    @pytest.mark.parametrize("zero_attn", [False, True])
+    def test_matches_generic(self, zero_attn):
+        from fourm_tpu.kernels.attention import pallas_mha_short
+
+        B, N, H, Dh = 2, 24, 4, 16
+        rng = np.random.RandomState(0)
+        qkv = jnp.asarray(rng.randn(B, N, 3 * H * Dh).astype(np.float32))
+        out = pallas_mha_short(qkv, H, None, allow_zero_attn=zero_attn,
+                               interpret=True)
+        ref = self._ref(qkv, H, allow_zero_attn=zero_attn)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_key_bias_mask(self):
+        from fourm_tpu.kernels.attention import pallas_mha_short
+        from fourm_tpu.ops.transformer import MASK_FILL_VALUE
+
+        B, N, H, Dh = 2, 16, 2, 8
+        rng = np.random.RandomState(1)
+        qkv = jnp.asarray(rng.randn(B, N, 3 * H * Dh).astype(np.float32))
+        mask = jnp.asarray(rng.rand(B, N) > 0.5)
+        bias = jnp.where(mask, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        out = pallas_mha_short(qkv, H, bias, interpret=True)
+        ref = self._ref(qkv, H, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestFusedLnMlp:
+    """pallas_ln_mlp (fused LN+MLP+residual) vs the unfused module math."""
+
+    def _ref(self, x, gamma, beta, w1, b1, w2, b2, w3=None, b3=None, eps=1e-6):
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+        h = (x32 - mean) * jax.lax.rsqrt(var + eps) * gamma
+        if beta is not None:
+            h = h + beta
+        h = h.astype(x.dtype)
+        g = jnp.dot(h, w1)
+        if b1 is not None:
+            g = g + b1
+        if w3 is None:
+            act = jax.nn.gelu(g.astype(jnp.float32), approximate=False)
+        else:
+            u = jnp.dot(h, w3)
+            if b3 is not None:
+                u = u + b3
+            act = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+        out = jnp.dot(act.astype(x.dtype), w2)
+        if b2 is not None:
+            out = out + b2
+        return x + out
+
+    @pytest.mark.parametrize("bias", [True, False])
+    def test_gelu_mlp(self, bias):
+        from fourm_tpu.kernels.fused_mlp import pallas_ln_mlp
+
+        M, D, HID = 48, 64, 128
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(D).astype(np.float32)) if bias else None
+        w1 = jnp.asarray(rng.randn(D, HID).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.randn(HID).astype(np.float32) * 0.1) if bias else None
+        w2 = jnp.asarray(rng.randn(HID, D).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.randn(D).astype(np.float32) * 0.1) if bias else None
+        out = pallas_ln_mlp(x, gamma, beta, w1, b1, w2, b2, interpret=True)
+        ref = self._ref(x, gamma, beta, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_swiglu(self):
+        from fourm_tpu.kernels.fused_mlp import pallas_ln_mlp
+
+        M, D, HID = 32, 64, 96
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        w1 = jnp.asarray(rng.randn(D, HID).astype(np.float32) * 0.1)
+        w3 = jnp.asarray(rng.randn(D, HID).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.randn(HID, D).astype(np.float32) * 0.1)
+        out = pallas_ln_mlp(x, gamma, None, w1, None, w2, None, w3, None,
+                            gated=True, interpret=True)
+        ref = self._ref(x, gamma, None, w1, None, w2, None, w3, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_erf_poly_accuracy(self):
+        from fourm_tpu.kernels.fused_mlp import _erf
+
+        x = jnp.linspace(-6, 6, 4001)
+        import scipy.special
+
+        # A&S 7.1.26 is |err|<=1.5e-7 in exact arithmetic; f32 evaluation adds
+        # rounding to ~2e-6 — still ~3 orders below bf16 resolution (~8e-3)
+        err = np.abs(np.asarray(_erf(x)) - scipy.special.erf(np.asarray(x)))
+        assert err.max() < 1e-5
+
+
+class TestLnMatmul:
+    def test_matches_unfused(self):
+        from fourm_tpu.kernels.fused_mlp import pallas_ln_matmul
+
+        M, D, F = 40, 64, 192
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(D).astype(np.float32))
+        w = jnp.asarray(rng.randn(D, F).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(F).astype(np.float32) * 0.1)
+        out = pallas_ln_matmul(x, gamma, beta, w, b, interpret=True)
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+        h = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+        ref = jnp.dot(h, w) + b
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestFused3D:
+    """3-D (B, N, D) per-image grid mode of the fused LN kernels."""
+
+    def test_ln_mlp_3d_matches_2d(self):
+        from fourm_tpu.kernels.fused_mlp import pallas_ln_mlp
+
+        B, N, D, HID = 3, 16, 64, 128
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(D).astype(np.float32))
+        w1 = jnp.asarray(rng.randn(D, HID).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.randn(HID).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.randn(HID, D).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.randn(D).astype(np.float32) * 0.1)
+        o3 = pallas_ln_mlp(x, gamma, beta, w1, b1, w2, b2, interpret=True)
+        o2 = pallas_ln_mlp(x.reshape(B * N, D), gamma, beta, w1, b1, w2, b2,
+                           interpret=True)
+        assert o3.shape == (B, N, D)
+        np.testing.assert_allclose(np.asarray(o3).reshape(B * N, D),
+                                   np.asarray(o2), rtol=1e-5, atol=1e-5)
+
+    def test_ln_matmul_3d_matches_2d(self):
+        from fourm_tpu.kernels.fused_mlp import pallas_ln_matmul
+
+        B, N, D, F = 2, 24, 64, 96
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        w = jnp.asarray(rng.randn(D, F).astype(np.float32) * 0.1)
+        o3 = pallas_ln_matmul(x, gamma, None, w, None, interpret=True)
+        o2 = pallas_ln_matmul(x.reshape(B * N, D), gamma, None, w, None,
+                              interpret=True)
+        assert o3.shape == (B, N, F)
+        np.testing.assert_allclose(np.asarray(o3).reshape(B * N, F),
+                                   np.asarray(o2), rtol=1e-5, atol=1e-5)
