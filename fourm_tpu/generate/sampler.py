@@ -426,6 +426,79 @@ class GenerationSampler:
 
     # ---------------------------------------------------------- merge (host)
 
+    def _merge_empty_fn(self, target_mod: str, L: int, sentinels: Tuple[int, ...],
+                        span_sentinel: int):
+        """Device-side sequence merge for the chain case: the target modality
+        started EMPTY (input was just [S_1]), so merge_span_masking reduces to
+        "non-PAD tokens of every segment headed by [S_1]" (split_by_sentinel
+        APPENDS on a repeated sentinel, so a re-generated [S_1] continues the
+        span — the segment-head cummax reproduces that). Matches
+        merge_sequences bit-for-bit for empty inputs (tested); runs as ONE
+        jitted program so the chain never round-trips token tensors through
+        the host — on a tunneled device each np.asarray sync is ~26 ms and the
+        host merge cost ~5 of them per AR target."""
+        key = ("merge_empty", target_mod, L, sentinels, span_sentinel)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        sent_arr = jnp.asarray(sentinels, jnp.int32)
+
+        @jax.jit
+        def fn(out_ids):
+            from ..ops.token_select import select_tokens
+
+            B, T = out_ids.shape
+            toks = out_ids[:, 1:]  # segment 0 is headed by the start marker
+            start = out_ids[:, 0:1]  # (B, 1), the [S_k] the span belongs to
+            is_sent = jnp.any(toks[..., None] == sent_arr[None, None, :], axis=-1)
+            is_pad = toks == PAD_ID
+            # head sentinel governing each position: value of the most recent
+            # sentinel at or before it (the start marker before any)
+            pos = jnp.arange(toks.shape[1], dtype=jnp.int32)[None, :]
+            last_pos = jax.lax.cummax(jnp.where(is_sent, pos, -1), axis=1)
+            head = jnp.where(
+                last_pos >= 0,
+                jnp.take_along_axis(toks, jnp.maximum(last_pos, 0), axis=1),
+                start,
+            )
+            keep = (~is_pad) & (~is_sent) & (head == span_sentinel)
+            n_keep = jnp.sum(keep, axis=1)  # (B,)
+            idx = select_tokens(~keep, min(L, toks.shape[1]))
+            gathered = jnp.take_along_axis(toks, idx, axis=1)
+            pos = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+            valid = pos < n_keep[:, None]
+            merged = jnp.where(valid, gathered, PAD_ID).astype(jnp.int32)
+            pad_cols = L - merged.shape[1]
+            if pad_cols > 0:
+                merged = jnp.pad(merged, ((0, 0), (0, pad_cols)),
+                                 constant_values=PAD_ID)
+                valid = jnp.pad(valid, ((0, 0), (0, pad_cols)))
+            return merged, ~valid, jnp.max(n_keep)
+
+        self._jit_cache[key] = fn
+        return fn
+
+    def merge_sequences_device(self, mod_dict, out_ids, target_mod: str,
+                               text_tokenizer=None) -> Dict:
+        """Empty-input fast path of merge_sequences: splice on-device, fetch
+        only one scalar (the max valid length) for budget bookkeeping."""
+        tok = text_tokenizer or self.text_tokenizer
+        sentinels = tuple(sorted(get_sentinel_to_id_mapping(tok).values()))
+        default_sentinel = tok.token_to_id("[S_1]")
+        spec = MODALITY_INFO[target_mod]
+        L = (spec.resolved_max_tokens() + 1) * 2
+        B = out_ids.shape[0]
+        fn = self._merge_empty_fn(target_mod, L, sentinels, default_sentinel)
+        tensor, input_mask, n_valid = fn(out_ids)
+        self._last_merge_valid = int(n_valid)
+        mod_dict[target_mod] = {
+            "tensor": tensor,
+            "input_mask": input_mask,
+            "target_mask": jnp.ones((B, L), dtype=bool),
+            "decoder_attention_mask": jnp.zeros((B, L), jnp.int32),
+        }
+        return mod_dict
+
     def merge_sequences(self, mod_dict, out_ids: np.ndarray, target_mod: str,
                         text_tokenizer=None) -> Dict:
         """Splice the generated span tokens back into the input sequence and
@@ -605,9 +678,16 @@ class GenerationSampler:
                 jnp.float32(cfg_scale if use_cfg else 1.0),
                 jnp.float32(top_k), jnp.float32(top_p), rng_step,
             )
-            mod_dict = self.merge_sequences(
-                mod_dict, np.asarray(out_ids), target_mod, text_tokenizer
-            )
+            if counts.get(target_mod, None) == 0 and (
+                    text_tokenizer or self.text_tokenizer) is not None:
+                # target started empty (chain case): splice on-device, no
+                # host round trip of the token tensors
+                mod_dict = self.merge_sequences_device(
+                    mod_dict, out_ids, target_mod, text_tokenizer)
+            else:
+                mod_dict = self.merge_sequences(
+                    mod_dict, np.asarray(out_ids), target_mod, text_tokenizer
+                )
             if target_mod in counts:
                 counts[target_mod] = self._last_merge_valid
         else:

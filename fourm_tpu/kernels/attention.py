@@ -55,12 +55,20 @@ def _make_kernel(scale: float, allow_zero_attn: bool, has_bias: bool):
     return kernel
 
 
-def _flash_kernel(scale: float, allow_zero_attn: bool, has_bias: bool, n_kblocks: int):
+def _flash_kernel(scale: float, allow_zero_attn: bool, bias_mode: str,
+                  n_kblocks: int, block_k: int, valid_m: int):
     """Blocked flash attention with online softmax (for long streams where the
-    one-shot kernel exceeds VMEM; e.g. the 4M-21 full encoder stream, 3024 tokens)."""
+    one-shot kernel exceeds VMEM; e.g. the 4M-21 full encoder stream, 3024 tokens).
+
+    bias_mode: "none" | "key" ((B, 1, M) additive key bias, the pad/visibility
+    mask case — streamed as (1, 1, bk) blocks, NOT broadcast to (N, M); the
+    broadcast form was ~1 MB of bias DMA per grid cell, ~6 ms/layer at 4M's
+    B=16/N=2304 prefill) | "full" ((B, H|1, N, M) blocks). Keys beyond
+    `valid_m` (block padding) are masked in-kernel by iota — no bias tensor is
+    materialized just to express padding."""
 
     def kernel(*refs):
-        if has_bias:
+        if bias_mode != "none":
             q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr = refs
         else:
             q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
@@ -79,8 +87,14 @@ def _flash_kernel(scale: float, allow_zero_attn: bool, has_bias: bool, n_kblocks
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (Bq, Bk)
-        if b_ref is not None:
+        if bias_mode == "key":
+            s = s + b_ref[0, 0][None, :]
+        elif bias_mode == "full":
             s = s + b_ref[0, 0]
+        if valid_m % block_k:  # mask padded key positions in the last block
+            kidx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+            # finite fill (not -inf): keeps s - m_new free of inf-inf NaNs
+            s = jnp.where(kidx < valid_m, s, jnp.finfo(jnp.float32).min)
 
         m_prev = m_scr[:, 0:1]  # (Bq, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -111,15 +125,27 @@ def flash_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     allow_zero_attn: bool = False,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    # Default blocks are 1024: at the 4M-21 prefill shapes (B=16, H=12,
+    # N=M=2304-3072) the kernel is per-cell-overhead-bound, not VMEM-bound —
+    # 512-blocks run 6912 grid cells at N=3072 (12.8 ms/layer) vs 1728 with
+    # 1024-blocks; the fp32 logits tile at 1024x1024 is 4 MB, well in budget.
     B, H, N, Dh = q.shape
     M = k.shape[2]
     scale = Dh**-0.5
-    block_q = min(block_q, N)
-    block_k = min(block_k, M)
+    # prefer block sizes that divide the sequence exactly (no pad DMA waste);
+    # e.g. the 4M-21 prefill stream N=M=2304 tiles cleanly at 768, not 512
+    def _pick(n, pref):
+        for c in (1024, 768, 512, 384, 256, 128):
+            if c <= pref and n % c == 0:
+                return c
+        return min(pref, n)
+
+    block_q = _pick(N, block_q)
+    block_k = _pick(M, block_k)
     pad_q = (-N) % block_q
     pad_k = (-M) % block_k
     if pad_q:
@@ -130,17 +156,21 @@ def flash_attention(
     Np, Mp = q.shape[2], k.shape[2]
     nq, nk = Np // block_q, Mp // block_k
 
-    has_bias = bias is not None or pad_k > 0
-    if has_bias:
-        if bias is None:
-            bias = jnp.zeros((B, 1, 1, M), jnp.float32)
+    # bias handling: key-only (B, 1, 1, M) biases stream as (1, 1, bk) blocks;
+    # padding is masked in-kernel via iota (no bias materialization)
+    if bias is None:
+        bias_mode = "none"
+    elif bias.shape[1] == 1 and bias.shape[2] == 1:
+        bias_mode = "key"
+        bias = bias.astype(jnp.float32).reshape(B, 1, M)
+        if pad_k:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_k)))
+    else:
+        bias_mode = "full"
         if bias.shape[2] == 1:
             bias = jnp.broadcast_to(bias, (B, bias.shape[1], N, M))
-        # padded keys must never be attended
         bias = jnp.pad(bias.astype(jnp.float32),
-                       ((0, 0), (0, 0), (0, pad_q), (0, pad_k)),
-                       constant_values=jnp.finfo(jnp.float32).min)
-        bh = bias.shape[1]
+                       ((0, 0), (0, 0), (0, pad_q), (0, pad_k)))
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, qi, ki: (b, h, qi, 0),
@@ -151,7 +181,13 @@ def flash_attention(
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
-    if has_bias:
+    if bias_mode == "key":
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, h, qi, ki: (b, 0, ki),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    elif bias_mode == "full":
+        bh = bias.shape[1]
         in_specs.append(pl.BlockSpec(
             (1, 1, block_q, block_k),
             (lambda b, h, qi, ki: (b, h, qi, ki)) if bh > 1
@@ -161,7 +197,7 @@ def flash_attention(
         args.append(bias)
 
     out = pl.pallas_call(
-        _flash_kernel(scale, allow_zero_attn, has_bias, nk),
+        _flash_kernel(scale, allow_zero_attn, bias_mode, nk, block_k, M),
         out_shape=jax.ShapeDtypeStruct((B, H, Np, Dh), q.dtype),
         grid=(B, H, nq, nk),
         in_specs=in_specs,

@@ -95,13 +95,23 @@ def _mlp_kernel(eps, norm_bias, mlp_bias, gated, compute_dtype, is3d=False):
     return kernel
 
 
+def _act_bytes(bm, d, hid, n_w, itemsize):
+    return bm * (2 * d * itemsize * 2 + hid * 4 * (2 if n_w == 3 else 1))
+
+
+def _fits_3d(n, d, hid, n_w, itemsize):
+    """Whether a full-image (N-row) cell + resident weights fits the ~12 MB
+    VMEM budget; when it does not (e.g. generation encoders at N=1280) the
+    wrapper flattens to the 2-D row-blocked grid instead."""
+    return n_w * d * hid * itemsize + _act_bytes(n, d, hid, n_w, itemsize) <= 12 * 1024 * 1024
+
+
 def _pick_block_rows(m, d, hid, n_w, itemsize):
     """Largest row block whose working set fits a ~12 MB VMEM budget
     (weights resident + x/out blocks + the fp32 hidden activation)."""
     weight_bytes = n_w * d * hid * itemsize
     for bm in (1024, 512, 256, 128, 64, 32, 16, 8):
-        act_bytes = bm * (2 * d * itemsize * 2 + hid * 4 * (2 if n_w == 3 else 1))
-        if weight_bytes + act_bytes <= 12 * 1024 * 1024 or bm == 8:
+        if weight_bytes + _act_bytes(bm, d, hid, n_w, itemsize) <= 12 * 1024 * 1024 or bm == 8:
             return min(bm, max(8, m))
     return 8
 
@@ -182,6 +192,10 @@ def pallas_ln_matmul(
     norm_bias = beta is not None
     mm_bias = b is not None
     compute_dtype = w.dtype
+    if x.ndim == 3 and not _fits_3d(x.shape[1], D, F, 1, compute_dtype.itemsize):
+        out2 = pallas_ln_matmul(x.reshape(M, D), gamma, beta, w, b,
+                                eps=eps, interpret=interpret)
+        return out2.reshape(x.shape[0], x.shape[1], F)
     n3, grid3, in_spec, out_spec, out_shape = _row_layout(x)
     if grid3 is not None:
         bm, grid = n3, grid3
@@ -246,6 +260,11 @@ def pallas_ln_mlp(
     norm_bias = beta is not None
     mlp_bias = b1 is not None
     compute_dtype = w1.dtype
+    if x.ndim == 3 and not _fits_3d(x.shape[1], D, HID, 3 if gated else 2,
+                                    compute_dtype.itemsize):
+        out2 = pallas_ln_mlp(x.reshape(M, D), gamma, beta, w1, b1, w2, b2,
+                             w3, b3, eps=eps, gated=gated, interpret=interpret)
+        return out2.reshape(x.shape)
     n3, grid3, in_spec, out_spec, out_shape = _row_layout(x)
     if grid3 is not None:
         bm, grid = n3, grid3

@@ -317,30 +317,44 @@ class Attention(nn.Module):
 
     def fused_prenorm(self, x: jnp.ndarray, norm, mask=None):
         """Fully-kernelized pre-norm attention half: LN -> QKV (one fused
-        Pallas LN+matmul, no fp32 stats round-trip) -> short-seq MHA kernel
-        -> proj. Returns the (B, N, C) attention branch output (caller adds
-        the residual), or None when the generic path must run. Every custom-
-        call edge carries the same (B, N, .) rank — XLA materializes reshape
-        copies between consecutive custom calls otherwise."""
+        Pallas LN+matmul, no fp32 stats round-trip) -> attention -> proj.
+        Short unnormed sequences use the per-image MHA kernel; long or
+        QK-normed ones split heads and go through the flash/one-shot
+        dispatcher (the LN+QKV fusion alone is worth ~4.5 ms/layer at the
+        B=16/N=3072 prefill — XLA lowers the standalone fp32 LN to a
+        convert+cross-lane-reduce that runs ~50x off bandwidth). Returns the
+        (B, N, C) attention branch output (caller adds the residual), or None
+        when the generic path must run."""
         B, N, C = x.shape
-        if (self.qk_norm or N > 1024
-                or not _fused_eligible(None, False, B * N)
+        if (not _fused_eligible(None, False, B * N)
                 or 3 * C * C * jnp.dtype(self.dtype).itemsize > 12 * 2**20
                 or not (mask is None or mask.ndim == 2
                         or (mask.ndim == 3 and mask.shape[1] == 1))):
             return None
-        from ..kernels.attention import pallas_mha_short
         from ..kernels.fused_mlp import pallas_ln_matmul
 
         gamma, beta = norm(x, return_params=True)
         w, b = self._qkv(C)
         qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
                                eps=norm.eps)
-        bias = None
-        if mask is not None:
-            m2 = mask if mask.ndim == 2 else mask[:, 0]
-            bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
-        out = pallas_mha_short(qkv, self.num_heads, bias, self.allow_zero_attn)
+        if not self.qk_norm and N <= 1024:
+            from ..kernels.attention import pallas_mha_short
+
+            bias = None
+            if mask is not None:
+                m2 = mask if mask.ndim == 2 else mask[:, 0]
+                bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+            out = pallas_mha_short(qkv, self.num_heads, bias, self.allow_zero_attn)
+            return self.proj(out)
+        head_dim = C // self.num_heads
+        qkv5 = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = [shard_activation(jnp.moveaxis(qkv5[:, :, i], 1, 2), "heads")
+                   for i in range(3)]
+        if self.qk_norm:
+            q = self.q_norm(q)
+            k = self.k_norm(k)
+        out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
         return self.proj(out)
 
     def _split_qkv(self, x):

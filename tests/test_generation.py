@@ -481,3 +481,71 @@ class TestValidCountTracking:
                                             counts=counts)
         actual = int((~np.asarray(md["caption"]["input_mask"])).sum(axis=1).max())
         assert counts["caption"] == actual
+
+
+class TestDeviceMerge:
+    """merge_sequences_device (on-device splice for empty-input targets) must
+    match the host merge_sequences bit-for-bit."""
+
+    def _tok(self, tmp_path):
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens,
+            train_unified_wordpiece_tokenizer,
+        )
+
+        rng = np.random.RandomState(0)
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("\n".join(" ".join(rng.choice(
+            ["cat", "dog", "sky", "sun"], size=6)) for _ in range(100)))
+        return train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=400,
+            sentinel_tokens=generate_sentinel_tokens(num=10), show_progress=False,
+        )
+
+    def test_matches_host_merge(self, tiny_gen, tmp_path):
+        from fourm_tpu.generate.init_helpers import PAD_ID
+        from fourm_tpu.utils.text_tokenizer import get_sentinel_to_id_mapping
+
+        tok = self._tok(tmp_path)
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params, text_tokenizer=tok)
+        sent_ids = sorted(get_sentinel_to_id_mapping(tok).values())
+        s1 = tok.token_to_id("[S_1]")
+
+        B, T = 4, 24
+        rng = np.random.RandomState(7)
+        out_ids = rng.randint(5, 390, (B, T)).astype(np.int32)
+        out_ids[:, 0] = s1
+        # row 0: clean sequence ending in PADs
+        out_ids[0, 10:] = PAD_ID
+        # row 1: a generated sentinel mid-sequence truncates the span
+        out_ids[1, 6] = sent_ids[3]
+        # row 2: PAD holes before the end (dropped anywhere, not terminal)
+        out_ids[2, 4] = PAD_ID
+        out_ids[2, 9] = PAD_ID
+        # row 3: sentinel AFTER some pads still truncates
+        out_ids[3, 5] = PAD_ID
+        out_ids[3, 8] = sent_ids[2]
+        # row 1 continued: a RE-generated [S_1] later re-opens the span
+        # (split_by_sentinel appends on repeats)
+        out_ids[1, 12] = s1
+
+        def empty_seq_dict():
+            d = {"caption": {"tensor": np.zeros((B, 2), np.int32)}}
+            init_empty_target_modality(d, "caption", B, 2)
+            return d
+
+        md_host = sampler.merge_sequences(empty_seq_dict(), out_ids.copy(),
+                                          "caption", tok)
+        host_valid = sampler._last_merge_valid
+        md_dev = sampler.merge_sequences_device(empty_seq_dict(),
+                                                jnp.asarray(out_ids), "caption", tok)
+        dev_valid = sampler._last_merge_valid
+
+        np.testing.assert_array_equal(np.asarray(md_dev["caption"]["tensor"]),
+                                      np.asarray(md_host["caption"]["tensor"]))
+        np.testing.assert_array_equal(np.asarray(md_dev["caption"]["input_mask"]),
+                                      np.asarray(md_host["caption"]["input_mask"]))
+        np.testing.assert_array_equal(np.asarray(md_dev["caption"]["target_mask"]),
+                                      np.asarray(md_host["caption"]["target_mask"]))
+        assert host_valid == dev_valid

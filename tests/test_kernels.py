@@ -98,6 +98,23 @@ class TestFlashAttention:
         ours = flash_attention(q, k, v, bias, block_q=128, block_k=128, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=2e-5)
 
+    def test_key_only_bias_streams(self):
+        """(B, 1, 1, M) pad-mask bias takes the streamed key-bias path
+        (no (N, M) broadcast) and matches XLA, incl. padded key blocks."""
+        from fourm_tpu.kernels.attention import flash_attention
+
+        rng = np.random.RandomState(3)
+        B, H, N, M, Dh = 2, 2, 140, 200, 16  # M % block_k != 0 -> iota mask
+        q = jnp.asarray(rng.randn(B, H, N, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        mask = jnp.asarray(rng.rand(B, 1, M) > 0.3)
+        bias = mask_to_bias(mask, N)  # (B, 1, 1, M)
+        golden = dot_product_attention(q, k, v, bias)
+        ours = flash_attention(q, k, v, bias, block_q=128, block_k=128,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(golden), atol=2e-5)
+
     def test_softmax1_long(self):
         from fourm_tpu.kernels.attention import flash_attention
 
