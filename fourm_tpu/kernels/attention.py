@@ -366,3 +366,125 @@ def pallas_attention(
         ),
     )(*args)
     return out
+
+
+def _attn_block_kernel(scale: float, eps: float, allow_zero_attn: bool,
+                       has_bias: bool, has_bq: bool, has_bp: bool,
+                       num_heads: int, head_dim: int):
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        gamma = next(it)[...]
+        beta_ref = next(it)[...]  # norm bias always passed (zeros when absent)
+        wq = next(it)[...]
+        bq = next(it)[...] if has_bq else None
+        wp = next(it)[...]
+        bp = next(it)[...] if has_bp else None
+        b_ref = next(it) if has_bias else None
+        o_ref = next(it)
+
+        xb = x_ref[0]
+        x32 = xb.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        h = ((x32 - mean) * jax.lax.rsqrt(var + eps) * gamma + beta_ref).astype(wq.dtype)
+        qkv = jnp.dot(h, wq, preferred_element_type=jnp.float32)
+        if bq is not None:
+            qkv = qkv + bq
+        qkv = qkv.astype(wq.dtype)  # (N, 3C)
+        C = num_heads * head_dim
+        outs = []
+        for hh in range(num_heads):
+            sl = slice(hh * head_dim, (hh + 1) * head_dim)
+            q = qkv[:, sl].astype(jnp.float32)
+            k = qkv[:, C + hh * head_dim : C + (hh + 1) * head_dim].astype(jnp.float32)
+            v = qkv[:, 2 * C + hh * head_dim : 2 * C + (hh + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if b_ref is not None:
+                logits = logits + b_ref[0][None, :]
+            if allow_zero_attn:
+                m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
+                e = jnp.exp(logits - m)
+                probs = e / (jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(-m))
+            else:
+                probs = jax.nn.softmax(logits, axis=-1)
+            outs.append(jnp.dot(probs.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32).astype(wq.dtype))
+        attn = jnp.concatenate(outs, axis=-1)  # (N, C)
+        out = jnp.dot(attn, wp, preferred_element_type=jnp.float32)
+        if bp is not None:
+            out = out + bp
+        o_ref[0] = xb + out.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "allow_zero_attn",
+                                             "interpret"))
+def pallas_attn_block(
+    x: jnp.ndarray,  # (B, N, C)
+    gamma: jnp.ndarray,  # fp32 (C,) LN scale
+    beta,  # fp32 (C,) LN bias or None
+    w_qkv: jnp.ndarray,  # (C, 3C) compute dtype
+    b_qkv,  # fp32 (3C,) or None
+    w_proj: jnp.ndarray,  # (C, C)
+    b_proj,  # fp32 (C,) or None
+    num_heads: int,
+    bias=None,  # fp32 (B, N) additive key bias
+    eps: float = 1e-6,
+    allow_zero_attn: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The complete pre-norm attention half of a transformer block as ONE
+    kernel: x + proj(MHA(qkv(LN(x)))). One grid cell per image; the QKV
+    projection output never leaves VMEM (the 3-kernel chain round-trips a
+    (B, N, 3C) tensor through HBM twice — at ViT-B/196 B=64 that is 58 MB
+    each way; measured 1.81 vs 2.10 ms per block-half isolated on v5e).
+    Weights use constant index maps and stay VMEM-resident across cells.
+    Inference-only, short sequences (caller checks the VMEM working set)."""
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    scale = head_dim**-0.5
+    has_bq = b_qkv is not None
+    has_bp = b_proj is not None
+    cast = lambda a: a.astype(jnp.float32)
+    beta_arr = cast(beta) if beta is not None else jnp.zeros((C,), jnp.float32)
+
+    spec3 = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda b: (0,) * nd), memory_space=pltpu.VMEM)
+
+    in_specs = [spec3, const_spec(gamma.shape), const_spec(beta_arr.shape),
+                const_spec(w_qkv.shape)]
+    args = [x, cast(gamma), beta_arr, w_qkv]
+    if has_bq:
+        in_specs.append(const_spec(b_qkv.shape))
+        args.append(cast(b_qkv))
+    in_specs.append(const_spec(w_proj.shape))
+    args.append(w_proj)
+    if has_bp:
+        in_specs.append(const_spec(b_proj.shape))
+        args.append(cast(b_proj))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, N), lambda b: (b, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32))
+
+    return pl.pallas_call(
+        _attn_block_kernel(scale, eps, allow_zero_attn, bias is not None,
+                           has_bq, has_bp, num_heads, head_dim),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=spec3,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * 4 * C + 4 * B * num_heads * N * N * head_dim,
+            bytes_accessed=(2 * x.size + w_qkv.size + w_proj.size) * x.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+    )(*args)

@@ -100,10 +100,13 @@ def _act_bytes(bm, d, hid, n_w, itemsize):
 
 
 def _fits_3d(n, d, hid, n_w, itemsize):
-    """Whether a full-image (N-row) cell + resident weights fits the ~12 MB
+    """Whether a full-image (N-row) cell + resident weights fits a ~13 MB
     VMEM budget; when it does not (e.g. generation encoders at N=1280) the
-    wrapper flattens to the 2-D row-blocked grid instead."""
-    return n_w * d * hid * itemsize + _act_bytes(n, d, hid, n_w, itemsize) <= 12 * 1024 * 1024
+    wrapper flattens to the 2-D row-blocked grid instead. (The 3-D budget is
+    a bit more generous than the 2-D one: staying 3-D avoids a materialized
+    (B,N,C)<->(B*N,C) reshape between consecutive custom calls, ~0.36 ms at
+    ViT-B/196 B=64.)"""
+    return n_w * d * hid * itemsize + _act_bytes(n, d, hid, n_w, itemsize) <= 13 * 1024 * 1024
 
 
 def _pick_block_rows(m, d, hid, n_w, itemsize):

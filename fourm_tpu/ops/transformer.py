@@ -318,13 +318,13 @@ class Attention(nn.Module):
     def fused_prenorm(self, x: jnp.ndarray, norm, mask=None):
         """Fully-kernelized pre-norm attention half: LN -> QKV (one fused
         Pallas LN+matmul, no fp32 stats round-trip) -> attention -> proj.
-        Short unnormed sequences use the per-image MHA kernel; long or
-        QK-normed ones split heads and go through the flash/one-shot
-        dispatcher (the LN+QKV fusion alone is worth ~4.5 ms/layer at the
-        B=16/N=3072 prefill — XLA lowers the standalone fp32 LN to a
-        convert+cross-lane-reduce that runs ~50x off bandwidth). Returns the
-        (B, N, C) attention branch output (caller adds the residual), or None
-        when the generic path must run."""
+        Short unnormed sequences run as ONE merged kernel (LN+QKV+MHA+proj+
+        residual, nothing leaves VMEM); long or QK-normed ones split heads
+        after the fused LN+QKV and go through the flash/one-shot dispatcher
+        (the LN+QKV fusion alone is worth ~4.5 ms/layer at the B=16/N=3072
+        prefill — XLA lowers the standalone fp32 LN to a convert+cross-lane-
+        reduce that runs ~50x off bandwidth). Returns x + attention branch
+        (residual INCLUDED), or None when the generic path must run."""
         B, N, C = x.shape
         if (not _fused_eligible(None, False, B * N)
                 or 3 * C * C * jnp.dtype(self.dtype).itemsize > 12 * 2**20
@@ -335,17 +335,36 @@ class Attention(nn.Module):
 
         gamma, beta = norm(x, return_params=True)
         w, b = self._qkv(C)
-        qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
-                               eps=norm.eps)
         if not self.qk_norm and N <= 1024:
-            from ..kernels.attention import pallas_mha_short
-
             bias = None
             if mask is not None:
                 m2 = mask if mask.ndim == 2 else mask[:, 0]
                 bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+            # VMEM working set of the single-kernel block half: resident
+            # qkv+proj weights, the per-cell qkv activation, one head's fp32
+            # logits, x/out blocks
+            itemsize = jnp.dtype(self.dtype).itemsize
+            vmem = (4 * C * C * itemsize            # w_qkv + w_proj
+                    + N * 3 * C * itemsize          # qkv activation
+                    + N * N * 4                     # one head's logits
+                    + 4 * N * C * itemsize)         # x + out, double-buffered
+            if vmem <= 11 * 2**20:
+                from ..kernels.attention import pallas_attn_block
+
+                wp, bp = self._proj(C)
+                return pallas_attn_block(
+                    x, gamma, beta, w.astype(self.dtype), b,
+                    wp.astype(self.dtype), bp, self.num_heads, bias,
+                    eps=norm.eps, allow_zero_attn=self.allow_zero_attn,
+                )
+            from ..kernels.attention import pallas_mha_short
+
+            qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
+                                   eps=norm.eps)
             out = pallas_mha_short(qkv, self.num_heads, bias, self.allow_zero_attn)
-            return self.proj(out)
+            return x + self.proj(out)
+        qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
+                               eps=norm.eps)
         head_dim = C // self.num_heads
         qkv5 = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = [shard_activation(jnp.moveaxis(qkv5[:, :, i], 1, 2), "heads")
@@ -614,7 +633,7 @@ class Block(nn.Module):
         mlp_ok = no_dp and _fused_eligible(self.mlp, self.gated_mlp, B * N, C)
         fused_attn = self.attn.fused_prenorm(x, self.norm1, mask) if no_dp else None
         if fused_attn is not None:
-            x = x + fused_attn
+            x = fused_attn  # residual included
         else:
             x = x + self.dp(self.attn(self.norm1(x), mask), deterministic)
         if mlp_ok:
@@ -671,7 +690,7 @@ class DecoderBlock(nn.Module):
         no_dp = self.drop_path_rate == 0.0 or deterministic
         fused_sa = self.self_attn.fused_prenorm(x, self.norm1, sa_mask) if no_dp else None
         if fused_sa is not None:
-            x = x + fused_sa
+            x = fused_sa  # residual included
         else:
             x = x + self.dp(self.self_attn(self.norm1(x), sa_mask), deterministic)
         x = x + self.dp(

@@ -298,3 +298,63 @@ class TestFused3D:
         assert o3.shape == (B, N, F)
         np.testing.assert_allclose(np.asarray(o3).reshape(B * N, F),
                                    np.asarray(o2), rtol=1e-5, atol=1e-5)
+
+
+class TestAttnBlock:
+    """pallas_attn_block (merged LN+QKV+MHA+proj+residual) vs unfused math."""
+
+    @pytest.mark.parametrize("bias_mode", ["none", "key"])
+    def test_matches_unfused(self, bias_mode):
+        from fourm_tpu.kernels.attention import pallas_attn_block
+        from fourm_tpu.ops.transformer import MASK_FILL_VALUE
+
+        B, N, H, Dh = 2, 24, 4, 16
+        C = H * Dh
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+        beta = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+        wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.1)
+        bq = jnp.asarray(rng.randn(3 * C).astype(np.float32) * 0.1)
+        wp = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.1)
+        bp = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+        bias = None
+        mask_bias4 = None
+        if bias_mode == "key":
+            mask = jnp.asarray(rng.rand(B, N) > 0.5)
+            bias = jnp.where(mask, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+            mask_bias4 = bias[:, None, None, :]
+
+        out = pallas_attn_block(x, gamma, beta, wq, bq, wp, bp, H, bias,
+                                interpret=True)
+
+        # unfused reference
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+        h = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+        qkv = jnp.dot(h, wq) + bq
+        q, k, v = [jnp.moveaxis(qkv.reshape(B, N, 3, H, Dh)[:, :, i], 1, 2)
+                   for i in range(3)]
+        from fourm_tpu.ops.transformer import dot_product_attention
+
+        a = dot_product_attention(q, k, v, mask_bias4)
+        a = jnp.moveaxis(a, 1, 2).reshape(B, N, C)
+        ref = x + (jnp.dot(a, wp) + bp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_no_biases(self):
+        from fourm_tpu.kernels.attention import pallas_attn_block
+
+        B, N, H, Dh = 1, 16, 2, 8
+        C = H * Dh
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        gamma = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+        wq = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.1)
+        wp = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.1)
+        out = pallas_attn_block(x, gamma, None, wq, None, wp, None, H,
+                                interpret=True)
+        assert out.shape == (B, N, C)
+        assert np.isfinite(np.asarray(out)).all()
