@@ -562,13 +562,17 @@ class GenerationSampler:
         groups: List[List[dict]] = []
         for step_info in schedule:
             spec = MODALITY_INFO[step_info["target_domain"]]
+            # list-valued cfg_scale (weighted multi-cond CFG) is not supported
+            # by the fused scan program: leave those steps ungrouped so they
+            # take the single-step path, which degrades to use_cfg=False
+            # (generate_multi_guided is the weighted-CFG entry point).
+            is_list = isinstance(step_info.get("cfg_scale", 1.0), (list, tuple))
             key = (step_info["target_domain"], step_info.get("scheme"),
-                   tuple(step_info.get("cfg_cond_domains", ())),
-                   isinstance(step_info.get("cfg_scale", 1.0), (list, tuple)))
-            if (spec.type == "img" and groups and groups[-1] and
+                   tuple(step_info.get("cfg_cond_domains", ())))
+            if (spec.type == "img" and not is_list and groups and groups[-1] and
                     groups[-1][0].get("_group_key") == key):
                 groups[-1].append(step_info)
-            elif spec.type == "img":
+            elif spec.type == "img" and not is_list:
                 groups.append([{**step_info, "_group_key": key}])
             else:
                 groups.append([step_info])

@@ -237,7 +237,7 @@ def _mha_short_kernel(scale: float, allow_zero_attn: bool, has_bias: bool,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # (N, N)
             if b_ref is not None:
-                logits = logits + b_ref[0][None, :]
+                logits = logits + b_ref[0]
             if allow_zero_attn:
                 m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
                 e = jnp.exp(logits - m)
@@ -289,9 +289,11 @@ def pallas_mha_short(
     in_specs = [spec, spec, spec]
     args = [q, k, v]
     if bias is not None:
-        in_specs.append(pl.BlockSpec((1, N), lambda b: (b, 0),
+        # (B, 1, N) layout: see pallas_attn_block — a (1, N) block over (B, N)
+        # violates Mosaic's sublane divisibility for B > 1
+        in_specs.append(pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(bias.astype(jnp.float32))
+        args.append(bias.astype(jnp.float32)[:, None, :])
 
     return pl.pallas_call(
         _mha_short_kernel(scale, allow_zero_attn, bias is not None,
@@ -403,7 +405,7 @@ def _attn_block_kernel(scale: float, eps: float, allow_zero_attn: bool,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
             if b_ref is not None:
-                logits = logits + b_ref[0][None, :]
+                logits = logits + b_ref[0]
             if allow_zero_attn:
                 m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), 0.0)
                 e = jnp.exp(logits - m)
@@ -470,9 +472,12 @@ def pallas_attn_block(
         in_specs.append(const_spec(b_proj.shape))
         args.append(cast(b_proj))
     if bias is not None:
-        in_specs.append(pl.BlockSpec((1, N), lambda b: (b, 0),
+        # (B, 1, N) with (1, 1, N) blocks: a plain (B, N) array would need an
+        # (1, N) block whose sublane dim (1) is neither 8-divisible nor equal
+        # to B — Mosaic rejects it for any B > 1
+        in_specs.append(pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(bias.astype(jnp.float32))
+        args.append(bias.astype(jnp.float32)[:, None, :])
 
     return pl.pallas_call(
         _attn_block_kernel(scale, eps, allow_zero_attn, bias is not None,

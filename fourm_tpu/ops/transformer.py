@@ -357,12 +357,17 @@ class Attention(nn.Module):
                     wp.astype(self.dtype), bp, self.num_heads, bias,
                     eps=norm.eps, allow_zero_attn=self.allow_zero_attn,
                 )
-            from ..kernels.attention import pallas_mha_short
+            # pallas_mha_short's own working set (no resident weights):
+            # q/k/v/out blocks + one head's fp32 logits; oversize shapes
+            # (large-C models near N=1024) fall through to the flash path
+            if 8 * N * C * itemsize + N * N * 4 <= 11 * 2**20:
+                from ..kernels.attention import pallas_mha_short
 
-            qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
-                                   eps=norm.eps)
-            out = pallas_mha_short(qkv, self.num_heads, bias, self.allow_zero_attn)
-            return x + self.proj(out)
+                qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
+                                       eps=norm.eps)
+                out = pallas_mha_short(qkv, self.num_heads, bias,
+                                       self.allow_zero_attn)
+                return x + self.proj(out)
         qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
                                eps=norm.eps)
         head_dim = C // self.num_heads
@@ -374,7 +379,7 @@ class Attention(nn.Module):
             k = self.k_norm(k)
         out = dot_product_attention(q, k, v, mask_to_bias(mask, N), self.allow_zero_attn)
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
-        return self.proj(out)
+        return x + self.proj(out)
 
     def _split_qkv(self, x):
         B, N, C = x.shape
@@ -394,8 +399,15 @@ class Attention(nn.Module):
         # ~2.5x on the ViT-B/196 VQ-tokenize encoder). Key-only masks (B, N)
         # or (B, 1, N) are supported as an additive bias; qk_norm and query-
         # dependent masks fall back to the generic path.
+        itemsize = jnp.dtype(self.dtype).itemsize
+        # per-cell VMEM working set of pallas_mha_short: q/k/v/out blocks
+        # (double-buffered) + one head's fp32 logits — must fit alongside
+        # compiler headroom or Mosaic rejects the kernel at large C (e.g.
+        # C=2048, N~1024)
+        mha_vmem = 8 * N * C * itemsize + N * N * 4
         if (_ATTN_IMPL == "pallas" and jax.default_backend() == "tpu"
                 and not self.qk_norm and N <= 1024 and B * N >= 64
+                and mha_vmem <= 11 * 2**20
                 and _ACTIVATION_SHARDER.get() is None
                 and (mask is None or mask.ndim == 2
                      or (mask.ndim == 3 and mask.shape[1] == 1))):

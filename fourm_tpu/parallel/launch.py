@@ -19,6 +19,11 @@ from typing import Optional
 
 import jax
 
+# set the first time initialize_multihost succeeds (or falls back to
+# single-process); public signal so re-entry is a no-op without touching
+# JAX internals
+_initialized = False
+
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
@@ -29,17 +34,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     clusters pass them explicitly (the analogue of torchrun's env rank vars the
     reference reads in dist.py:78-90).
 
-    NOTE: must run before anything touches the XLA backend — so the
-    already-initialized check reads the distributed client state directly
-    instead of calling jax.process_count() (which would initialize the
-    backend and make jax.distributed.initialize fail)."""
-    try:
-        from jax._src import distributed as _dist
-
-        if getattr(_dist.global_state, "client", None) is not None:
-            return  # already initialized
-    except Exception:
-        pass
+    NOTE: must run before anything touches the XLA backend, so the re-entry
+    check can't call jax.process_count() (which would initialize the backend
+    and make jax.distributed.initialize fail). We track our own flag and
+    additionally treat JAX's own "already initialized" RuntimeError as a
+    benign no-op (covers initialization done outside this function)."""
+    global _initialized
+    if _initialized:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -47,10 +49,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
+        if "already initialized" in str(e).lower():
+            _initialized = True
+            return
         # single-process runs (tests, one chip) land here — keep going
         if num_processes not in (None, 1):
             raise
         print(f"[dist] single-process mode ({e})")
+    _initialized = True
 
 
 def process_index() -> int:

@@ -549,3 +549,23 @@ class TestDeviceMerge:
         np.testing.assert_array_equal(np.asarray(md_dev["caption"]["target_mask"]),
                                       np.asarray(md_host["caption"]["target_mask"]))
         assert host_valid == dev_valid
+
+
+class TestGroupSchedule:
+    def test_list_cfg_scale_steps_are_not_grouped(self):
+        """Weighted multi-cond CFG emits per-step cfg_scale LISTS; the fused
+        scan program can't run them, so they must stay single-step groups
+        (regression: float(list) TypeError in _generate_img_target)."""
+        from fourm_tpu.generate.sampler import GenerationSampler
+
+        base = {"target_domain": "tok_rgb@224", "scheme": "maskgit",
+                "num_tokens": 8, "temperature": 1.0,
+                "cfg_cond_domains": ["caption"]}
+        schedule = [
+            {**base, "cfg_scale": [2.0, 1.0]},
+            {**base, "cfg_scale": [2.0, 1.0]},
+            {**base, "cfg_scale": 2.0},
+            {**base, "cfg_scale": 2.0},
+        ]
+        groups = GenerationSampler._group_schedule(schedule)
+        assert [len(g) for g in groups] == [1, 1, 2]

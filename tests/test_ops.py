@@ -239,3 +239,42 @@ class TestSampling:
         logits = jnp.asarray([[10.0, 0.0, -1.0, -2.0]] * 64)
         samples, _ = sample_tokens(jax.random.key(1), logits, temperature=1.0, top_k=1)
         np.testing.assert_array_equal(np.asarray(samples), np.zeros(64))
+
+
+class TestFusedPrenormParity:
+    """The fused_prenorm long-sequence / qk_norm branch must include the
+    attention residual (regression: it once returned proj(out) without x+,
+    silently corrupting every N>1024 prefill under pallas mode on TPU).
+    Runs the pallas path in interpret mode on CPU with the backend gate
+    monkeypatched, compared against the unfused XLA forward."""
+
+    def _run(self, monkeypatch, *, qk_norm, N, B=2, C=64, heads=2):
+        import functools
+        from fourm_tpu.kernels import attention as attn_mod
+        from fourm_tpu.kernels import fused_mlp as mlp_mod
+        from fourm_tpu.ops import transformer as tr
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        blk = Block(dim=C, num_heads=heads, qk_norm=qk_norm)
+        params = blk.init(jax.random.key(0), x)
+        golden = blk.apply(params, x)  # xla path (default impl)
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        for mod, name in ((attn_mod, "pallas_attention"),
+                          (attn_mod, "pallas_mha_short"),
+                          (attn_mod, "pallas_attn_block"),
+                          (mlp_mod, "pallas_ln_matmul"),
+                          (mlp_mod, "pallas_ln_mlp")):
+            fn = getattr(mod, name)
+            monkeypatch.setattr(mod, name, functools.partial(fn, interpret=True))
+        with tr.use_pallas_attention():
+            fused = blk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(golden),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_qk_norm_branch_keeps_residual(self, monkeypatch):
+        self._run(monkeypatch, qk_norm=True, N=128)
+
+    def test_long_sequence_branch_keeps_residual(self, monkeypatch):
+        self._run(monkeypatch, qk_norm=False, N=1152, B=1)
