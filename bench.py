@@ -1,8 +1,9 @@
 """Benchmark: the BASELINE.json headline metrics on real hardware.
 
 Headline (the JSON "value"): samples/sec/chip for RGB-to-all chained generation
-with 4M-21 B over the FULL Demo4MSampler default target chain (15 targets: 9
-ROAR image-token modalities + 6 KV-cached autoregressive sequence modalities),
+with 4M-21 B over the FULL Demo4MSampler default target chain (14 targets: 8
+ROAR image-token modalities + 6 KV-cached autoregressive sequence modalities;
+tok_rgb is the conditioning),
 Pallas fused attention, bf16, batch-doubled CFG where scheduled. Untrained
 weights time identically to trained ones for the fixed-shape parts; AR decoding
 without a learned EOS runs to the full target length, making this a
