@@ -277,6 +277,20 @@ def main():
                                   batch=4, targets=["tok_clip@224", "tok_semseg@224", "caption"],
                                   label="4M-21 XL 3-target chain")
             extras["xl_chain_samples_per_sec"] = round(xl, 3)
+            # the BASELINE north star is the XL ratio: measured v5e XL chain vs
+            # the analytical reference-on-A100 estimate of the SAME chain
+            # (scripts/estimate_reference_a100.py XL geometry; BASELINE.md)
+            try:
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts"))
+                from estimate_reference_a100 import reference_a100_xl_samples_per_sec
+
+                xref = reference_a100_xl_samples_per_sec()
+                extras["xl_ref_a100_samples_per_sec_est"] = round(xref["eager"], 3)
+                extras["xl_vs_baseline"] = round(xl / xref["eager"], 3)
+                extras["xl_vs_baseline_peak_bound"] = round(xl / xref["peak"], 3)
+            except Exception as e:  # pragma: no cover
+                print(f"# XL vs_baseline estimate failed: {e}")
         except Exception as e:
             print(f"# XL bench failed: {e}")
     if os.environ.get("BENCH_FULL"):

@@ -3,8 +3,10 @@
 BASELINE.json demands a `vs_baseline` comparison, but the reference repo
 publishes no throughput numbers (SURVEY.md §6) and this environment has no
 A100. This script derives an auditable estimate of the reference pipeline's
-samples/sec on one A100 for the exact headline workload our bench measures:
-the FULL 14-target RGB-to-all Demo4MSampler chain with 4M-B (B=16/GPU).
+samples/sec on one A100 for the exact workloads our bench measures:
+  * headline: FULL 14-target RGB-to-all Demo4MSampler chain, 4M-B, B=16/GPU
+  * north star: 3-target chain (tok_clip, tok_semseg, caption), 4M-XL, B=4/GPU
+    (BASELINE.json names the XL RGB-to-all ratio as the target metric)
 
 Reference code properties modeled (all cited, SURVEY.md §3.2):
   * AR sequence decoding re-runs the FULL decoder over the growing target
@@ -17,8 +19,8 @@ Reference code properties modeled (all cited, SURVEY.md §3.2):
     tokens (generate.py:628-765); the reference's dynamic gather keeps only
     valid tokens, so conditioning token counts equal ours (no compaction
     advantage is assumed for us in this model);
-  * chain structure from fourm/demo_4M_sampler.py:42-136 — 8 ROAR image
-    targets x 1 step (cfg 2.0) + 6 autoregressive sequence targets (cfg 1.0).
+  * chain structure from fourm/demo_4M_sampler.py:42-136 — ROAR image
+    targets x 1 step (cfg 2.0) + autoregressive sequence targets (cfg 1.0).
 
 Three scenarios, most to least favorable to the reference:
   peak     — 100% MFU at 312 TFLOP/s bf16 (A100 SXM peak), ZERO launch
@@ -27,15 +29,18 @@ Three scenarios, most to least favorable to the reference:
              speed-of-light. vs_baseline computed against THIS bound is a
              hard lower bound on the true ratio.
   mfu35    — 35% MFU, still zero per-launch overhead. 35% is generous for
-             eager PyTorch inference at these small shapes (B=16, dim 768);
-             large-batch TRAINING typically lands 40-55%.
+             eager PyTorch inference at these small shapes, and MORE generous
+             for XL single-token decode (dim 2048, B=4 rows: memory-bound,
+             real MFU is single-digit %) — so the XL estimate flatters the
+             reference further.
   eager    — 35% MFU + 1 ms per Python-loop iteration (CUDA launch trains of
-             a depth-12 decoder ≈ 150 kernels plus per-token embedding/mask
-             rebuilds in eager torch; 1 ms/token is charitable — eager
-             measurements of comparable loops run 3-10 ms/token).
+             a depth-12/24 decoder ≈ 150-300 kernels plus per-token
+             embedding/mask rebuilds in eager torch; 1 ms/token is
+             charitable — eager measurements of comparable loops run
+             3-10 ms/token).
 
-The bench JSON reports vs_baseline against `peak` (the skeptic-proof floor)
-and vs_baseline_est against `eager` (the realistic estimate).
+The bench JSON reports vs_baseline (headline vs `eager`), vs_baseline_peak_bound
+(headline vs `peak`), and xl_vs_baseline (XL chain vs the XL `eager` estimate).
 
 Run directly for the full audit table: python scripts/estimate_reference_a100.py
 """
@@ -44,23 +49,40 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-# ---- 4M-B geometry (reference fm.py:839-1130 registry, swiglu flavors) ----
-DIM = 768
-ENC_DEPTH = 12
-DEC_DEPTH = 12
-MLP_HIDDEN = int(2 * (4 * DIM) / 3)  # SwiGLU parameter-count compensation
-
-# per-block parameter counts (matmul weights only; norms/biases negligible)
-ENC_BLOCK = DIM * 3 * DIM + DIM * DIM + 2 * DIM * MLP_HIDDEN + MLP_HIDDEN * DIM
-DEC_BLOCK = ENC_BLOCK + DIM * DIM + DIM * 2 * DIM + DIM * DIM  # + cross q/kv/proj
-ENC_PARAMS = ENC_DEPTH * ENC_BLOCK
-DEC_PARAMS = DEC_DEPTH * DEC_BLOCK
-
 A100_BF16_PEAK = 312e12  # dense bf16/fp16 TFLOP/s, A100 SXM
 
-# ---- headline chain structure (fourm/demo_4M_sampler.py:29-136) ----
+
+@dataclass
+class Geometry:
+    """Matmul-weight geometry of one 4M size (reference fm.py:839-1130
+    registry, swiglu flavors; norms/biases negligible)."""
+
+    dim: int
+    enc_depth: int
+    dec_depth: int
+
+    @property
+    def enc_params(self) -> float:
+        d = self.dim
+        hidden = int(2 * (4 * d) / 3)  # SwiGLU parameter-count compensation
+        block = d * 3 * d + d * d + 3 * d * hidden  # qkv + proj + swiglu w1/w2/w3
+        return self.enc_depth * block
+
+    @property
+    def dec_params(self) -> float:
+        d = self.dim
+        hidden = int(2 * (4 * d) / 3)
+        block = (d * 3 * d + d * d + 3 * d * hidden
+                 + d * d + d * 2 * d + d * d)  # + cross q/kv/proj
+        return self.dec_depth * block
+
+
+GEOM_B = Geometry(dim=768, enc_depth=12, dec_depth=12)    # 4M-B (198M)
+GEOM_XL = Geometry(dim=2048, enc_depth=24, dec_depth=24)  # 4M-XL (2.8B)
+
+# ---- chain structures (fourm/demo_4M_sampler.py:29-136) ----
 # (modality, target_tokens, scheme, cfg_scale, vocab)
-CHAIN = [
+CHAIN_B = [
     ("tok_clip@224", 196, "roar", 2.0, 8192),
     ("tok_dinov2@224", 256, "roar", 2.0, 8192),
     ("tok_imagebind@224", 256, "roar", 2.0, 8192),
@@ -76,6 +98,12 @@ CHAIN = [
     ("color_palette", 23, "ar", 1.0, 30522),
     ("metadata", 40, "ar", 1.0, 30522),
 ]
+# the XL driver-bench chain (bench.py): clip + semseg ROAR, caption AR
+CHAIN_XL = [
+    ("tok_clip@224", 196, "roar", 2.0, 8192),
+    ("tok_semseg@224", 196, "roar", 2.0, 4096),
+    ("caption", 256, "ar", 1.0, 30522),
+]
 RGB_COND_TOKENS = 196  # tok_rgb@224 conditioning
 
 
@@ -83,65 +111,78 @@ RGB_COND_TOKENS = 196  # tok_rgb@224 conditioning
 class Estimate:
     flops_per_sample: float
     ar_tokens: int
-    launches: int  # Python-level device round trips (per sample at B=16: /16)
+    launches: int  # Python-level device round trips (shared across the batch)
 
     def samples_per_sec(self, mfu: float, launch_overhead_s: float,
-                        batch: int = 16) -> float:
+                        batch: int) -> float:
         t_compute = self.flops_per_sample / (A100_BF16_PEAK * mfu)
         # launch overhead amortizes over the batch (one loop drives all B rows)
         t_launch = self.launches * launch_overhead_s / batch
         return 1.0 / (t_compute + t_launch)
 
 
-def reference_chain_flops() -> Estimate:
-    """FLOPs per SAMPLE for the reference pipeline on the headline chain."""
+def reference_chain_flops(geom: Geometry, chain) -> Estimate:
+    """FLOPs per SAMPLE for the reference pipeline on the given chain."""
     flops = 0.0
     launches = 0
     cond = RGB_COND_TOKENS  # valid conditioning tokens so far
     ar_tokens = 0
-    for _mod, L, scheme, cfg, vocab in CHAIN:
+    for _mod, L, scheme, cfg, vocab in chain:
         n_fwd = 2 if cfg != 1.0 else 1  # sequential CFG (generate.py:684)
         if scheme == "roar":
             # one step decodes the whole grid: encoder over cond + decoder
             # over L masked queries (+ logits head)
-            flops += n_fwd * (2 * ENC_PARAMS * cond + 2 * DEC_PARAMS * L
-                              + 2 * L * DIM * vocab)
+            flops += n_fwd * (2 * geom.enc_params * cond + 2 * geom.dec_params * L
+                              + 2 * L * geom.dim * vocab)
             launches += n_fwd
         else:
             # encoder once per target; then per token t: FULL decoder re-run
             # over t positions, growing causal mask, no KV cache
             # (generate.py:889-918). Logits head on the last position only.
-            flops += n_fwd * 2 * ENC_PARAMS * cond
-            flops += n_fwd * (2 * DEC_PARAMS * (L * (L + 1) / 2)
-                              + 2 * L * DIM * vocab)
+            flops += n_fwd * 2 * geom.enc_params * cond
+            flops += n_fwd * (2 * geom.dec_params * (L * (L + 1) / 2)
+                              + 2 * L * geom.dim * vocab)
             launches += n_fwd * (L + 1)
             ar_tokens += L
         cond += L  # decoded target becomes conditioning for later steps
     return Estimate(flops, ar_tokens, launches)
 
 
-def reference_a100_samples_per_sec() -> dict:
-    est = reference_chain_flops()
+def _scenarios(est: Estimate, batch: int) -> dict:
     return {
         "flops_per_sample_T": est.flops_per_sample / 1e12,
         "ar_tokens": est.ar_tokens,
         "launches_per_sample_chain": est.launches,
-        "peak": est.samples_per_sec(mfu=1.0, launch_overhead_s=0.0),
-        "mfu35": est.samples_per_sec(mfu=0.35, launch_overhead_s=0.0),
-        "eager": est.samples_per_sec(mfu=0.35, launch_overhead_s=1e-3),
+        "peak": est.samples_per_sec(mfu=1.0, launch_overhead_s=0.0, batch=batch),
+        "mfu35": est.samples_per_sec(mfu=0.35, launch_overhead_s=0.0, batch=batch),
+        "eager": est.samples_per_sec(mfu=0.35, launch_overhead_s=1e-3, batch=batch),
     }
 
 
-if __name__ == "__main__":
-    est = reference_chain_flops()
-    r = reference_a100_samples_per_sec()
-    print("Reference 4M-B, 14-target RGB-to-all chain, per sample:")
-    print(f"  model: enc {ENC_PARAMS/1e6:.1f}M dec {DEC_PARAMS/1e6:.1f}M matmul params")
+def reference_a100_samples_per_sec() -> dict:
+    """Headline workload: 4M-B, 14-target chain, B=16/GPU."""
+    return _scenarios(reference_chain_flops(GEOM_B, CHAIN_B), batch=16)
+
+
+def reference_a100_xl_samples_per_sec() -> dict:
+    """North-star workload: 4M-XL, 3-target chain, B=4/GPU (matches bench.py)."""
+    return _scenarios(reference_chain_flops(GEOM_XL, CHAIN_XL), batch=4)
+
+
+def _print_table(name, geom, chain, batch, r):
+    print(f"{name} ({len(chain)}-target chain, B={batch}), per sample:")
+    print(f"  model: enc {geom.enc_params/1e6:.1f}M dec {geom.dec_params/1e6:.1f}M matmul params")
     print(f"  FLOPs/sample: {r['flops_per_sample_T']:.2f} TFLOP "
-          f"(AR tokens: {r['ar_tokens']}, of which decoder re-runs are "
-          f"{2*DEC_PARAMS*sum(L*(L+1)/2 for _m, L, s, _c, _v in CHAIN if s=='ar')/1e12:.2f} T)")
-    print(f"  device round trips per chain (B=16 shared): {r['launches_per_sample_chain']}")
-    print("Estimated reference samples/sec/A100 (B=16):")
-    print(f"  peak   (100% MFU, zero overhead — unattainable bound): {r['peak']:.2f}")
-    print(f"  mfu35  (35% MFU, zero overhead):                        {r['mfu35']:.2f}")
-    print(f"  eager  (35% MFU + 1 ms/Python-loop iteration):          {r['eager']:.2f}")
+          f"(AR tokens: {r['ar_tokens']})")
+    print(f"  device round trips per chain (batch-shared): {r['launches_per_sample_chain']}")
+    print(f"  peak   (100% MFU, zero overhead — unattainable bound): {r['peak']:.3f}")
+    print(f"  mfu35  (35% MFU, zero overhead):                        {r['mfu35']:.3f}")
+    print(f"  eager  (35% MFU + 1 ms/Python-loop iteration):          {r['eager']:.3f}")
+
+
+if __name__ == "__main__":
+    _print_table("Reference 4M-B headline", GEOM_B, CHAIN_B, 16,
+                 reference_a100_samples_per_sec())
+    print()
+    _print_table("Reference 4M-XL north star", GEOM_XL, CHAIN_XL, 4,
+                 reference_a100_xl_samples_per_sec())
