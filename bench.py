@@ -293,7 +293,10 @@ def main():
                 print(f"# XL vs_baseline estimate failed: {e}")
         except Exception as e:
             print(f"# XL bench failed: {e}")
-    if os.environ.get("BENCH_FULL"):
+    # SR 448 (784-token modalities) is the one sequence-length regime the
+    # headline chain never touches — in the default driver run since round 4
+    # (persistent compile cache absorbs the cost). BENCH_SKIP_SR=1 opts out.
+    if not os.environ.get("BENCH_SKIP_SR"):
         try:
             sr = bench_generation(jax, jnp, tok, "fm_large_24e_24d_swiglu_nobias",
                                   batch=4, targets=list(DEFAULT_ORDER_SR),
