@@ -204,26 +204,34 @@ def bench_train_step(jax, jnp):
     shapes = jax.eval_shape(lambda r: model.init(r, example, 128, 128), jax.random.key(0))
     tx = create_optimizer(shapes, cosine_schedule(1e-4, 1000, 10))
     state, _ = init_train_state(model, tx, example, 128, 128, jax.random.key(0))
-    step = build_train_step(model, tx, 128, 128, donate=False)
+    # donate=True + state chaining matches a real training loop (measured
+    # equal to donate=False on this chip, but donation is the honest setup).
+    step = build_train_step(model, tx, 128, 128, donate=True)
     rng = jax.random.key(1)
-    new_state, metrics = step(state, batch, rng)
+    state, metrics = step(state, batch, rng)
     _ = float(metrics["loss"])  # compile + fence
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        new_state, metrics = step(state, batch, rng)
+        state, metrics = step(state, batch, rng)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     sps = B / dt / len(jax.devices())
 
     # MFU: fwd+bwd ~ 6 * params_active * tokens. Encoder sees 128, decoder 128
     # (self) + cross into 128. Use 6*N*T with N=198e6 trunk+emb active params,
-    # T=256 tokens/sample as the standard coarse estimate.
+    # T=256 tokens/sample as the standard coarse estimate (kept for
+    # round-over-round continuity).
     flops_per_sample = 6 * 198e6 * 256
     mfu = flops_per_sample * B / dt / 197e12
+    # Honest HW utilization: XLA's own cost analysis counts 221.8 GFLOP/sample
+    # for this step (measured via jitted.lower().compile().cost_analysis();
+    # the 6ND convention overcounts because the decoder's cross-attention and
+    # per-modality CE heads don't follow 6ND) — emit both.
+    hw_util = 221.8e9 * B / dt / 197e12
     print(f"# train step: {sps:.0f} samples/s/chip ({dt*1e3:.1f} ms/step B={B}), "
-          f"MFU~{mfu:.2f}")
-    return sps, mfu
+          f"MFU~{mfu:.2f} (6ND convention), HW util ~{hw_util:.2f} (XLA-counted)")
+    return sps, mfu, hw_util
 
 
 def main():
@@ -262,9 +270,10 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# vq tokenize bench failed: {e}")
     try:
-        tsps, mfu = bench_train_step(jax, jnp)
+        tsps, mfu, hw_util = bench_train_step(jax, jnp)
         extras["train_step_samples_per_sec"] = round(tsps, 1)
         extras["train_mfu"] = round(mfu, 3)
+        extras["train_hw_util_xla_counted"] = round(hw_util, 3)
     except Exception as e:  # pragma: no cover
         print(f"# train bench failed: {e}")
 

@@ -92,15 +92,17 @@ def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.nd
     return bias[:, None, :, :]  # (B, 1, Q or 1, K)
 
 
-# Global attention implementation switch: "xla" (differentiable, default) or
-# "pallas" (fused VMEM-resident kernel, inference-only — pallas_call has no vjp).
+# Global attention implementation switch: "xla" (differentiable, default),
+# "pallas" (fused VMEM-resident kernel, inference-only — pallas_call has no
+# vjp), or "pallas_train" (custom-vjp fused pair, kernels/attention_bwd.py —
+# differentiable; used by build_train_step on single-chip TPU).
 # GenerationSampler and the VQ tokenize path enable pallas via use_pallas_attention().
 _ATTN_IMPL = "xla"
 
 
 def set_attention_impl(impl: str):
     global _ATTN_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("xla", "pallas", "pallas_train")
     _ATTN_IMPL = impl
 
 
@@ -110,6 +112,24 @@ class use_pallas_attention:
 
     def __init__(self, enable: bool = True):
         self.impl = "pallas" if enable else "xla"
+
+    def __enter__(self):
+        self.prev = _ATTN_IMPL
+        set_attention_impl(self.impl)
+
+    def __exit__(self, *exc):
+        set_attention_impl(self.prev)
+
+
+class use_fused_train_attention:
+    """Context manager: route dot_product_attention through the DIFFERENTIABLE
+    fused Pallas pair (kernels/attention_bwd.py) — trace-time switch for the
+    training step. Falls back to XLA per-call when shapes don't fit the
+    one-shot VMEM budget, on non-TPU backends, or under TP activation
+    sharding."""
+
+    def __init__(self, enable: bool = True):
+        self.impl = "pallas_train" if enable else "xla"
 
     def __enter__(self):
         self.prev = _ATTN_IMPL
@@ -137,6 +157,15 @@ def dot_product_attention(
         from ..kernels.attention import pallas_attention
 
         return pallas_attention(q, k, v, bias, allow_zero_attn=allow_zero_attn)
+    if (_ATTN_IMPL == "pallas_train" and jax.default_backend() == "tpu"
+            and _ACTIVATION_SHARDER.get() is None):
+        from ..kernels.attention_bwd import (
+            attention_train,
+            fused_train_attention_eligible,
+        )
+
+        if fused_train_attention_eligible(q, k, bias):
+            return attention_train(q, k, v, bias, allow_zero_attn)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale

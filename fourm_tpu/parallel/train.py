@@ -96,6 +96,7 @@ def build_train_step(
     state_shardings=None,
     donate: bool = True,
     trainable_mask=None,
+    fused_attention: Optional[bool] = None,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
@@ -106,13 +107,36 @@ def build_train_step(
     (0.) receive zero gradient AND zero update, so their values, Adam moments
     and weight decay are all untouched — exactly torch's requires_grad=False
     behavior in the reference's frozen warm-start phase.
+
+    fused_attention: route attention through the differentiable fused Pallas
+    pair (kernels/attention_bwd.py; loss/grad parity vs the XLA path is
+    tested). Default OFF: at the 4M training shapes (N=128-256) XLA's fused
+    attention is faster than the custom-call pair (measured 78.9 vs 86.5
+    ms/step on v5e — the (B, H, N, Dh) custom-call operands force layout
+    materializations XLA otherwise fuses away); the kernels remain available
+    for long-sequence fine-tuning where the (N, M) logits no longer fit
+    registers/VMEM via XLA fusion. Never used under a mesh (pallas custom
+    calls are not auto-partitioned by pjit).
     """
+    if fused_attention is None:
+        fused_attention = False
+    if mesh is not None:
+        fused_attention = False
+    # Fused single-pass AdamW (kernels/fused_adamw.py): one in-place Pallas
+    # pass per leaf instead of the optax update()/apply_updates() pair.
+    # Single-chip only (pallas custom calls aren't auto-partitioned by pjit)
+    # and bit-matches optax, so the frozen-mask path keeps the explicit chain.
+    use_fused_opt = (mesh is None and trainable_mask is None
+                     and hasattr(tx, "fused_apply"))
 
     def loss_fn(params, batch, rng):
-        loss, (mod_loss, mod_count) = model.apply(
-            params, batch, num_encoder_tokens, num_decoder_tokens,
-            loss_type=loss_type, deterministic=False, rngs={"dropout": rng},
-        )
+        from ..ops.transformer import use_fused_train_attention
+
+        with use_fused_train_attention(fused_attention):
+            loss, (mod_loss, mod_count) = model.apply(
+                params, batch, num_encoder_tokens, num_decoder_tokens,
+                loss_type=loss_type, deterministic=False, rngs={"dropout": rng},
+            )
         return loss, (mod_loss, mod_count)
 
     def step_fn(state: TrainState, batch, rng: jax.Array):
@@ -137,10 +161,14 @@ def build_train_step(
 
         if trainable_mask is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, trainable_mask)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        if trainable_mask is not None:
-            updates = jax.tree.map(lambda u, m: u * m, updates, trainable_mask)
-        new_params = optax.apply_updates(state.params, updates)
+        if use_fused_opt:
+            new_params, new_opt_state = tx.fused_apply(
+                grads, state.opt_state, state.params)
+        else:
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            if trainable_mask is not None:
+                updates = jax.tree.map(lambda u, m: u * m, updates, trainable_mask)
+            new_params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),

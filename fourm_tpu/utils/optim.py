@@ -125,6 +125,91 @@ def make_schedule(name: str, base_lr: float, total_steps: int, warmup_steps: int
     raise ValueError(f"unknown schedule {name}")
 
 
+class FusedAdamW:
+    """optax.adamw-compatible transformation with a fused single-pass apply.
+
+    init()/update() delegate to the wrapped optax.adamw chain (identical
+    state tree -> checkpoints interchange freely). `fused_apply(grads,
+    opt_state, params)` runs the whole update (moments + bias correction +
+    decoupled decay + schedule + parameter application) as one Pallas kernel
+    pass per leaf with in-place aliasing (kernels/fused_adamw.py).
+    build_train_step uses fused_apply when available (single-chip, no frozen
+    mask).
+
+    MEASURED (v5e, 4M-B 361M-param tree, B=32 step): the optax chain, the
+    per-leaf Pallas kernel, and hand-fused XLA math all run the update at the
+    same speed (~22 ms — the practical floor; realized HBM bandwidth for the
+    7-stream read/write pattern is ~56% of spec, and XLA already fuses the
+    whole optax elementwise chain under jit). Running one pallas_call per
+    leaf is ~17 ms SLOWER end to end (256 serialized kernel launches). So
+    create_optimizer(fused=...) defaults to False; the kernel and this
+    wrapper remain as a parity-proven option and for future toolchains
+    where the tradeoff may differ."""
+
+    def __init__(self, schedule, betas, eps, weight_decay, wd_mask):
+        self._tx = optax.adamw(
+            learning_rate=schedule, b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay, mask=wd_mask,
+        )
+        self.schedule = schedule
+        self.b1, self.b2 = betas
+        self.eps = eps
+        self.weight_decay = weight_decay
+        self.wd_mask = wd_mask
+        self.interpret = False  # tests flip this to run the kernel on CPU
+        self.init = self._tx.init
+        self.update = self._tx.update
+
+    def _walk_states(self, s, replace_adam, found):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s)
+            return replace_adam(s)
+        if hasattr(s, "_fields"):  # other NamedTuple states
+            if "inner_state" in s._fields:
+                return s._replace(
+                    inner_state=self._walk_states(s.inner_state, replace_adam, found))
+            if "count" in s._fields:
+                return s._replace(count=s.count + 1)
+            return s
+        if isinstance(s, (tuple, list)):
+            return type(s)(self._walk_states(x, replace_adam, found) for x in s)
+        return s
+
+    def fused_apply(self, grads, opt_state, params):
+        from ..kernels.fused_adamw import adamw_scalars, fused_adamw_leaf
+
+        adams = [s for s in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            if isinstance(s, optax.ScaleByAdamState)]
+        assert len(adams) == 1, f"expected one adam state, got {len(adams)}"
+        adam = adams[0]
+        scalars = adamw_scalars(adam.count, self.schedule, self.b1, self.b2)
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(adam.mu)
+        flat_v = treedef.flatten_up_to(adam.nu)
+        flat_mask = treedef.flatten_up_to(self.wd_mask)
+        new_p, new_m, new_v = [], [], []
+        for g, p, m, v, dk in zip(flat_g, flat_p, flat_m, flat_v, flat_mask):
+            p2, m2, v2 = fused_adamw_leaf(
+                g, p, m, v, scalars, b1=self.b1, b2=self.b2, eps=self.eps,
+                wd=self.weight_decay, decay=bool(dk), interpret=self.interpret)
+            new_p.append(p2)
+            new_m.append(m2)
+            new_v.append(v2)
+        params2 = jax.tree_util.tree_unflatten(treedef, new_p)
+        mu2 = jax.tree_util.tree_unflatten(treedef, new_m)
+        nu2 = jax.tree_util.tree_unflatten(treedef, new_v)
+
+        def replace_adam(s):
+            return s._replace(count=s.count + 1, mu=mu2, nu=nu2)
+
+        found = []
+        opt_state2 = self._walk_states(opt_state, replace_adam, found)
+        return params2, opt_state2
+
+
 def create_optimizer(
     params,
     schedule: Callable,
@@ -137,6 +222,7 @@ def create_optimizer(
     layer_decay: Optional[float] = None,
     encoder_depth: int = 0,
     decoder_depth: int = 0,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with the 4M parameter-group rules (reference optim_factory.py:171-245).
 
@@ -144,7 +230,18 @@ def create_optimizer(
     threshold (reference native_scaler.py:34-39 `skip_grad`).
     frozen_mask: optional pytree of bools, True = parameter is frozen (zero update),
     covering the reference's frozen-trunk warm-start phase (run_training_4m.py:522-529).
+    fused: when the chain is pure AdamW (no clip/layer-decay/skip/frozen),
+    return a FusedAdamW whose `fused_apply` runs the update as one in-place
+    Pallas pass per leaf (bit-matching optax; parity-tested). State trees and
+    update() behavior are identical either way. Default False: measured on
+    v5e the optax chain already runs at the practical bandwidth floor and
+    per-leaf kernel launches are net-slower (see FusedAdamW docstring).
     """
+    pure_adamw = (clip_grad is None and skip_grad is None and frozen_mask is None
+                  and (layer_decay is None or layer_decay >= 1.0))
+    if fused and pure_adamw:
+        return FusedAdamW(schedule, betas, eps, weight_decay,
+                          weight_decay_mask(params))
     chain = []
     if clip_grad is not None:
         chain.append(optax.clip_by_global_norm(clip_grad))

@@ -358,3 +358,138 @@ class TestAttnBlock:
                                 interpret=True)
         assert out.shape == (B, N, C)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestAttentionTrainBwd:
+    """Custom-vjp fused attention (training path): gradients must match the
+    XLA attention path (interpret mode on CPU)."""
+
+    def _grads(self, fn, q, k, v, *extra):
+        def loss(q, k, v):
+            out = fn(q, k, v, *extra)
+            return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("with_bias,zero_attn", [
+        (False, False), (True, False), (False, True), (True, True)])
+    def test_grads_match_xla(self, with_bias, zero_attn):
+        from fourm_tpu.kernels.attention_bwd import attention_train
+
+        rng = np.random.RandomState(0)
+        B, H, N, M, Dh = 2, 3, 48, 56, 32
+        q = jnp.asarray(rng.randn(B, H, N, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        bias = None
+        if with_bias:
+            mask = jnp.asarray(rng.rand(B, N, M) > 0.4)
+            bias = mask_to_bias(mask, N)
+
+        def xla(q, k, v):
+            return dot_product_attention(q, k, v, bias, allow_zero_attn=zero_attn)
+
+        def fused(q, k, v):
+            return attention_train(q, k, v, bias, allow_zero_attn=zero_attn,
+                                   interpret=True)
+
+        g_x = self._grads(lambda q, k, v: xla(q, k, v), q, k, v)
+        g_f = self._grads(lambda q, k, v: fused(q, k, v), q, k, v)
+        for a, b in zip(g_f, g_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-4)
+
+    def test_key_bias_grads(self):
+        from fourm_tpu.kernels.attention_bwd import attention_train
+
+        rng = np.random.RandomState(1)
+        B, H, N, M, Dh = 2, 2, 32, 40, 16
+        q = jnp.asarray(rng.randn(B, H, N, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, H, M, Dh).astype(np.float32))
+        mask = jnp.asarray(rng.rand(B, 1, M) > 0.3)
+        bias = mask_to_bias(mask, N)  # (B, 1, 1, M)
+
+        g_x = self._grads(
+            lambda q, k, v: dot_product_attention(q, k, v, bias), q, k, v)
+        g_f = self._grads(
+            lambda q, k, v: attention_train(q, k, v, bias, interpret=True),
+            q, k, v)
+        for a, b in zip(g_f, g_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-4)
+
+
+class TestFusedAdamW:
+    """Fused single-pass AdamW (kernels/fused_adamw.py + utils.optim.FusedAdamW)
+    must bit-match the optax.adamw chain: params, moments, count, and the
+    schedule/bias-correction semantics, over multiple steps, across decayed
+    and non-decayed leaves and the non-lane-divisible fallback."""
+
+    def _setup(self):
+        from fourm_tpu.utils.optim import FusedAdamW, cosine_schedule
+
+        rng = np.random.RandomState(0)
+        params = {
+            "w": jnp.asarray(rng.randn(8, 256).astype(np.float32)),   # decayed
+            "b": jnp.asarray(rng.randn(256).astype(np.float32)),      # no decay
+            "odd": jnp.asarray(rng.randn(37).astype(np.float32)),     # fallback
+        }
+        mask = {"w": True, "b": False, "odd": False}
+        sched = cosine_schedule(1e-2, 50, 5)
+        tx = FusedAdamW(sched, (0.9, 0.95), 1e-8, 0.05, mask)
+        tx.interpret = True
+        return tx, params, sched, mask
+
+    def test_matches_optax_chain_over_steps(self):
+        import optax
+
+        tx, params, sched, mask = self._setup()
+        ref_tx = optax.adamw(learning_rate=sched, b1=0.9, b2=0.95, eps=1e-8,
+                             weight_decay=0.05, mask=mask)
+
+        state_f = tx.init(params)
+        state_r = ref_tx.init(params)
+        p_f = params
+        p_r = params
+        rng = np.random.RandomState(1)
+        for step in range(4):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+                p_f)
+            p_f, state_f = tx.fused_apply(grads, state_f, p_f)
+            upd, state_r = ref_tx.update(grads, state_r, p_r)
+            p_r = optax.apply_updates(p_r, upd)
+            for k in params:
+                np.testing.assert_allclose(
+                    np.asarray(p_f[k]), np.asarray(p_r[k]),
+                    atol=1e-6, rtol=1e-5, err_msg=f"step {step} param {k}")
+        # opt state trees interchange: counts and moments line up
+        adam_f = [s for s in jax.tree_util.tree_leaves(
+            state_f, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            if isinstance(s, optax.ScaleByAdamState)][0]
+        adam_r = [s for s in jax.tree_util.tree_leaves(
+            state_r, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            if isinstance(s, optax.ScaleByAdamState)][0]
+        assert int(adam_f.count) == int(adam_r.count) == 4
+        for k in params:
+            np.testing.assert_allclose(np.asarray(adam_f.mu[k]),
+                                       np.asarray(adam_r.mu[k]),
+                                       atol=1e-6, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(adam_f.nu[k]),
+                                       np.asarray(adam_r.nu[k]),
+                                       atol=1e-6, rtol=1e-5)
+
+    def test_update_path_still_optax(self):
+        """FusedAdamW.update() must remain the plain optax chain (mesh path)."""
+        import optax
+
+        tx, params, sched, mask = self._setup()
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        upd, state2 = tx.update(grads, state, params)
+        ref = optax.adamw(learning_rate=sched, b1=0.9, b2=0.95, eps=1e-8,
+                          weight_decay=0.05, mask=mask)
+        upd_r, _ = ref.update(grads, ref.init(params), params)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(upd[k]), np.asarray(upd_r[k]),
+                                       atol=1e-7, rtol=1e-6)

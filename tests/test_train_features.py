@@ -117,3 +117,76 @@ def test_train_cli_synthetic_eval_and_frozen(tmp_path):
     assert log_path, f"no log written under {out}"
     lines = [json.loads(l) for l in open(log_path) if l.strip()]
     assert any("eval_loss" in l for l in lines), f"eval never ran: {lines}"
+
+
+def test_fused_train_attention_loss_and_grad_parity(tiny_setup, monkeypatch):
+    """The differentiable fused attention pair (kernels/attention_bwd.py) must
+    reproduce the XLA train step: loss and gradients within 1e-2 relative
+    (interpret mode on CPU, backend gate monkeypatched)."""
+    import functools
+
+    import optax
+
+    from fourm_tpu.kernels import attention as attn_mod
+    from fourm_tpu.kernels import attention_bwd as bwd_mod
+
+    cfg, model, tx, state, batch = tiny_setup
+
+    def loss_fn(fused):
+        from fourm_tpu.ops.transformer import use_fused_train_attention
+
+        def f(params):
+            with use_fused_train_attention(fused):
+                loss, _aux = model.apply(
+                    params, batch, 32, 32, deterministic=False,
+                    rngs={"dropout": jax.random.key(3)})
+            return loss
+        return f
+
+    loss_x, grads_x = jax.value_and_grad(loss_fn(False))(state.params)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bwd_mod, "attention_train",
+                        functools.partial(bwd_mod.attention_train, interpret=True))
+    loss_f, grads_f = jax.value_and_grad(loss_fn(True))(state.params)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-3)
+    gx = jnp.concatenate([g.ravel() for g in jax.tree_util.tree_leaves(grads_x)])
+    gf = jnp.concatenate([g.ravel() for g in jax.tree_util.tree_leaves(grads_f)])
+    rel = float(jnp.linalg.norm(gf - gx) / (jnp.linalg.norm(gx) + 1e-12))
+    assert rel <= 1e-2, f"gradient relative error {rel}"
+    # and the fused path actually ran (the eligibility gate passed)
+    assert float(jnp.abs(gf).sum()) > 0
+
+
+def test_fused_adamw_train_step_matches_unfused(tiny_setup):
+    """build_train_step with FusedAdamW (fused_apply wired in, Pallas kernel in
+    interpret mode) must produce the same new params as the plain optax chain."""
+    cfg, model, _tx, state, batch = tiny_setup
+
+    params_shape = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                                state.params)
+    sched = cosine_schedule(1e-2, 100, 0)
+    tx_fused = create_optimizer(params_shape, sched, fused=True)
+    tx_plain = create_optimizer(params_shape, sched, fused=False)
+    assert hasattr(tx_fused, "fused_apply")
+    tx_fused.interpret = True
+
+    from fourm_tpu.parallel import TrainState
+
+    s0 = TrainState(step=state.step, params=state.params,
+                    opt_state=tx_fused.init(state.params))
+    s1 = TrainState(step=state.step, params=state.params,
+                    opt_state=tx_plain.init(state.params))
+    step_f = build_train_step(model, tx_fused, 32, 32, donate=False)
+    step_p = build_train_step(model, tx_plain, 32, 32, donate=False)
+    rng = jax.random.key(7)
+    nf, mf = step_f(s0, batch, rng)
+    np_, mp_ = step_p(s1, batch, rng)
+    np.testing.assert_allclose(float(mf["loss"]), float(mp_["loss"]), rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(nf.params),
+            jax.tree_util.tree_leaves_with_path(np_.params)):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=str(ka))
