@@ -478,6 +478,100 @@ class GenerationSampler:
         self._jit_cache[key] = fn
         return fn
 
+    def _merge_general_fn(self, target_mod: str, L: int, T_in: int, T_dec: int,
+                          sentinels: Tuple[int, ...], default_sentinel: int):
+        """Device-side sequence merge for the GENERAL span-splice case
+        (non-empty inputs, i.e. transfer-style conditioning): reproduces
+        merge_span_masking exactly — walk the input tokens, copy non-sentinels,
+        and expand each sentinel into the ordered decoder tokens whose most
+        recent preceding sentinel (head) equals it. split_by_sentinel's
+        defaultdict append-on-repeat semantics fall out of the head-cummax:
+        all segments headed by the same sentinel concatenate in decoder order,
+        and an input sentinel with no decoder segment expands to nothing.
+        Fixed shapes throughout; one jitted program, one scalar fetch.
+        Bit-equality vs the host merge_sequences oracle is tested
+        (tests/test_generation.py). Reference host loop: generate.py:550-626."""
+        key = ("merge_gen", target_mod, L, T_in, T_dec, sentinels, default_sentinel)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        sent_arr = jnp.asarray(sentinels, jnp.int32)  # (S,)
+
+        @jax.jit
+        def fn(in_tensor, in_mask, out_ids):
+            from ..ops.token_select import select_tokens
+
+            B = in_tensor.shape[0]
+            # -- compact the input tokens (valid first, original order) --
+            idx = select_tokens(in_mask, T_in)
+            in_tok = jnp.take_along_axis(in_tensor, idx, axis=1).astype(jnp.int32)
+            n_in = jnp.sum(~in_mask, axis=1).astype(jnp.int32)  # (B,)
+            # empty input behaves as [default_sentinel] (host: inp or [S_1])
+            empty = n_in == 0
+            first_col = jnp.arange(T_in, dtype=jnp.int32)[None, :] == 0
+            in_tok = jnp.where(empty[:, None] & first_col,
+                               jnp.int32(default_sentinel), in_tok)
+            n_in = jnp.maximum(n_in, 1)
+            valid_in = jnp.arange(T_in, dtype=jnp.int32)[None, :] < n_in[:, None]
+
+            # -- decoder stream: head sentinel per position --
+            toks = out_ids.astype(jnp.int32)  # (B, T_dec)
+            is_pad_d = toks == PAD_ID
+            is_sent_d = jnp.any(toks[..., None] == sent_arr[None, None, :],
+                                axis=-1) & ~is_pad_d
+            pos_d = jnp.arange(T_dec, dtype=jnp.int32)[None, :]
+            last_pos = jax.lax.cummax(jnp.where(is_sent_d, pos_d, -1), axis=1)
+            head = jnp.where(
+                last_pos >= 0,
+                jnp.take_along_axis(toks, jnp.maximum(last_pos, 0), axis=1),
+                -1,
+            )
+            keep_d = (~is_pad_d) & (~is_sent_d) & (head >= 0)
+
+            # -- per-sentinel ordered token tables + counts --
+            def per_sent(s):
+                not_mine = ~(keep_d & (head == s))
+                order = select_tokens(not_mine, T_dec)
+                return (jnp.take_along_axis(toks, order, axis=1),
+                        jnp.sum(~not_mine, axis=1).astype(jnp.int32))
+
+            dec_tab, dec_cnt = jax.vmap(per_sent)(sent_arr)  # (S,B,Td),(S,B)
+            dec_tab = jnp.moveaxis(dec_tab, 0, 1)  # (B, S, T_dec)
+            dec_cnt = jnp.moveaxis(dec_cnt, 0, 1)  # (B, S)
+
+            # -- run length + exclusive start per input position --
+            sent_match = in_tok[..., None] == sent_arr[None, None, :]  # (B,T_in,S)
+            is_sent_i = jnp.any(sent_match, axis=-1) & valid_in
+            sent_j = jnp.argmax(sent_match, axis=-1).astype(jnp.int32)  # (B,T_in)
+            len_i = jnp.where(
+                valid_in,
+                jnp.where(is_sent_i,
+                          jnp.take_along_axis(dec_cnt, sent_j, axis=1), 1),
+                0,
+            ).astype(jnp.int32)
+            start_i = jnp.cumsum(len_i, axis=1) - len_i  # exclusive prefix
+            n_out = jnp.sum(len_i, axis=1)  # (B,)
+
+            # -- gather each output slot from the run containing it --
+            o = jnp.arange(L, dtype=jnp.int32)[None, None, :]  # (1,1,L)
+            contains = ((start_i[:, :, None] <= o)
+                        & (o < (start_i + len_i)[:, :, None]))  # (B,T_in,L)
+            found = jnp.any(contains, axis=1)  # (B, L)
+            i_of_o = jnp.argmax(contains, axis=1).astype(jnp.int32)  # (B, L)
+            tok_i = jnp.take_along_axis(in_tok, i_of_o, axis=1)
+            js = jnp.take_along_axis(sent_j, i_of_o, axis=1)
+            k = jnp.arange(L, dtype=jnp.int32)[None, :] - jnp.take_along_axis(
+                start_i, i_of_o, axis=1)
+            is_s = jnp.take_along_axis(is_sent_i, i_of_o, axis=1)
+            dec_val = dec_tab[jnp.arange(B)[:, None], js, jnp.clip(k, 0, T_dec - 1)]
+            val = jnp.where(is_s, dec_val, tok_i)
+            valid = found  # contains already bounds o < n_out
+            merged = jnp.where(valid, val, PAD_ID).astype(jnp.int32)
+            return merged, ~valid, jnp.max(jnp.minimum(n_out, L))
+
+        self._jit_cache[key] = fn
+        return fn
+
     def merge_sequences_device(self, mod_dict, out_ids, target_mod: str,
                                text_tokenizer=None) -> Dict:
         """Empty-input fast path of merge_sequences: splice on-device, fetch
@@ -490,6 +584,30 @@ class GenerationSampler:
         B = out_ids.shape[0]
         fn = self._merge_empty_fn(target_mod, L, sentinels, default_sentinel)
         tensor, input_mask, n_valid = fn(out_ids)
+        self._last_merge_valid = int(n_valid)
+        mod_dict[target_mod] = {
+            "tensor": tensor,
+            "input_mask": input_mask,
+            "target_mask": jnp.ones((B, L), dtype=bool),
+            "decoder_attention_mask": jnp.zeros((B, L), jnp.int32),
+        }
+        return mod_dict
+
+    def merge_sequences_device_general(self, mod_dict, out_ids, target_mod: str,
+                                       text_tokenizer=None) -> Dict:
+        """General (non-empty-input / transfer-style) device-side merge: splice
+        generated spans into the existing input sequence entirely on-device
+        (see _merge_general_fn), fetching one scalar for budget bookkeeping."""
+        tok = text_tokenizer or self.text_tokenizer
+        sentinels = tuple(sorted(get_sentinel_to_id_mapping(tok).values()))
+        default_sentinel = tok.token_to_id("[S_1]")
+        spec = MODALITY_INFO[target_mod]
+        L = (spec.resolved_max_tokens() + 1) * 2
+        d = mod_dict[target_mod]
+        B, T_in = d["tensor"].shape
+        fn = self._merge_general_fn(target_mod, L, T_in, out_ids.shape[1],
+                                    sentinels, default_sentinel)
+        tensor, input_mask, n_valid = fn(d["tensor"], d["input_mask"], out_ids)
         self._last_merge_valid = int(n_valid)
         mod_dict[target_mod] = {
             "tensor": tensor,
@@ -682,12 +800,18 @@ class GenerationSampler:
                 jnp.float32(cfg_scale if use_cfg else 1.0),
                 jnp.float32(top_k), jnp.float32(top_p), rng_step,
             )
-            if counts.get(target_mod, None) == 0 and (
-                    text_tokenizer or self.text_tokenizer) is not None:
-                # target started empty (chain case): splice on-device, no
-                # host round trip of the token tensors
-                mod_dict = self.merge_sequences_device(
-                    mod_dict, out_ids, target_mod, text_tokenizer)
+            if (text_tokenizer or self.text_tokenizer) is not None:
+                # splice on-device, no host round trip of the token tensors:
+                # cheap cummax-segment program when the target started empty
+                # (chain case), general span-splice program otherwise
+                # (transfer-style non-empty conditioning). The host
+                # merge_sequences below stays as the tested oracle.
+                if counts.get(target_mod, None) == 0:
+                    mod_dict = self.merge_sequences_device(
+                        mod_dict, out_ids, target_mod, text_tokenizer)
+                else:
+                    mod_dict = self.merge_sequences_device_general(
+                        mod_dict, out_ids, target_mod, text_tokenizer)
             else:
                 mod_dict = self.merge_sequences(
                     mod_dict, np.asarray(out_ids), target_mod, text_tokenizer

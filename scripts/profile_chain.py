@@ -137,25 +137,28 @@ def main():
         # the sampler runs the whole loop device-side)
         nsteps = 64
 
-        def loop_body(i, carry):
-            tok, caches = carry
-            y_t = model.apply(params, target, tok, method="embed_target_token")
-            y_t = y_t + jax.lax.dynamic_slice_in_dim(y_emb, i, 1, axis=1)
-            y_out, caches = model.apply(
-                params, y_t, caches, cross_kvs, enc_mask, i, method="decode_one_token")
-            logits = model.apply(params, target, y_out, method="mod_logits")[:, 0]
-            return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], caches
-
+        # params/cross_kvs MUST be jit arguments: closed-over they become
+        # program constants and the remote compile request blows the server's
+        # body limit (HTTP 413 observed at 113 MB of cross-KV constants)
         @jax.jit
-        def loop(tok, caches):
+        def loop(variables, tok, caches, ckvs, emask, yemb):
+            def loop_body(i, carry):
+                tok, caches = carry
+                y_t = model.apply(variables, target, tok, method="embed_target_token")
+                y_t = y_t + jax.lax.dynamic_slice_in_dim(yemb, i, 1, axis=1)
+                y_out, caches = model.apply(
+                    variables, y_t, caches, ckvs, emask, i, method="decode_one_token")
+                logits = model.apply(variables, target, y_out, method="mod_logits")[:, 0]
+                return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], caches
+
             return jax.lax.fori_loop(0, nsteps, loop_body, (tok, caches))
 
         caches3 = jax.jit(lambda: model.apply(params, B, L, method="init_kv_caches"))()
-        tok3, caches3 = loop(tok, caches3)
+        tok3, caches3 = loop(params, tok, caches3, cross_kvs, enc_mask, y_emb)
         fence(tok3)
         caches3 = jax.jit(lambda: model.apply(params, B, L, method="init_kv_caches"))()
         t0 = time.perf_counter()
-        tok3, caches3 = loop(tok3, caches3)
+        tok3, caches3 = loop(params, tok3, caches3, cross_kvs, enc_mask, y_emb)
         fence(tok3)
         t_loop = (time.perf_counter() - t0) / nsteps
         print(f"{'in-jit decode loop, per token':44s} {t_loop*1e3:8.3f} ms")

@@ -550,6 +550,85 @@ class TestDeviceMerge:
                                       np.asarray(md_host["caption"]["target_mask"]))
         assert host_valid == dev_valid
 
+    def test_general_matches_host_merge(self, tiny_gen, tmp_path):
+        """Transfer-style (NON-empty input) span splice: the general device
+        program must reproduce merge_span_masking bit-for-bit, including
+        repeated input sentinels (defaultdict reuse duplicates the span),
+        sentinels with no decoder segment (expand to nothing), decoder
+        tokens before any sentinel (dropped), PAD holes, and the
+        empty-input [S_1] fallback row."""
+        from fourm_tpu.generate.init_helpers import PAD_ID
+        from fourm_tpu.utils.text_tokenizer import get_sentinel_to_id_mapping
+
+        tok = self._tok(tmp_path)
+        model, params = tiny_gen
+        sampler = GenerationSampler(model, params, text_tokenizer=tok)
+        sent_ids = sorted(get_sentinel_to_id_mapping(tok).values())
+        s1 = tok.token_to_id("[S_1]")
+
+        B, T_in, T = 5, 16, 24
+        rng = np.random.RandomState(11)
+        in_tensor = rng.randint(5, 390, (B, T_in)).astype(np.int32)
+        in_mask = np.zeros((B, T_in), dtype=bool)
+        # row 0: words + one sentinel mid-sequence, trailing positions masked
+        in_tensor[0, 4] = sent_ids[2]
+        in_mask[0, 10:] = True
+        # row 1: two DIFFERENT sentinels
+        in_tensor[1, 2] = sent_ids[1]
+        in_tensor[1, 7] = sent_ids[4]
+        in_mask[1, 12:] = True
+        # row 2: REPEATED sentinel (same span spliced twice)
+        in_tensor[2, 3] = sent_ids[1]
+        in_tensor[2, 8] = sent_ids[1]
+        # row 3: sentinel with NO decoder segment + masked holes mid-sequence
+        in_tensor[3, 5] = sent_ids[7]
+        in_mask[3, 2] = True
+        in_mask[3, 9] = True
+        # row 4: fully masked input (empty -> [S_1] fallback)
+        in_mask[4, :] = True
+
+        out_ids = rng.randint(5, 390, (B, T)).astype(np.int32)
+        # row 0: tokens BEFORE the first sentinel are dropped by the host split
+        out_ids[0, 0:2] = [7, 8]
+        out_ids[0, 2] = sent_ids[2]
+        out_ids[0, 12:] = PAD_ID
+        # row 1: segments for both sentinels, out of input order
+        out_ids[1, 0] = sent_ids[4]
+        out_ids[1, 5] = sent_ids[1]
+        out_ids[1, 9] = PAD_ID  # PAD hole inside a segment
+        out_ids[1, 14:] = PAD_ID
+        # row 2: one segment for the repeated sentinel
+        out_ids[2, 0] = sent_ids[1]
+        out_ids[2, 6:] = PAD_ID
+        # row 3: decoder emits a segment for a sentinel the input lacks
+        out_ids[3, 0] = sent_ids[3]
+        out_ids[3, 8:] = PAD_ID
+        # row 4: plain [S_1] span
+        out_ids[4, 0] = s1
+        out_ids[4, 10:] = PAD_ID
+
+        def seq_dict():
+            d = {"caption": {
+                "tensor": np.array(in_tensor),
+                "input_mask": np.array(in_mask),
+                "target_mask": np.ones((B, T_in), dtype=bool),
+                "decoder_attention_mask": np.zeros((B, T_in), np.int32),
+            }}
+            return d
+
+        md_host = sampler.merge_sequences(seq_dict(), out_ids.copy(),
+                                          "caption", tok)
+        host_valid = sampler._last_merge_valid
+        md_dev = sampler.merge_sequences_device_general(
+            seq_dict(), jnp.asarray(out_ids), "caption", tok)
+        dev_valid = sampler._last_merge_valid
+
+        np.testing.assert_array_equal(np.asarray(md_dev["caption"]["tensor"]),
+                                      np.asarray(md_host["caption"]["tensor"]))
+        np.testing.assert_array_equal(np.asarray(md_dev["caption"]["input_mask"]),
+                                      np.asarray(md_host["caption"]["input_mask"]))
+        assert host_valid == dev_valid
+
 
 class TestGroupSchedule:
     def test_list_cfg_scale_steps_are_not_grouped(self):
