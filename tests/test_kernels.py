@@ -493,3 +493,219 @@ class TestFusedAdamW:
         for k in params:
             np.testing.assert_allclose(np.asarray(upd[k]), np.asarray(upd_r[k]),
                                        atol=1e-7, rtol=1e-6)
+
+
+class TestDecodeStepKernels:
+    """Fused decode-step kernels (kernels/decode_step.py) vs the unfused
+    DecoderBlock.step path, bit-for-bit on the same param tree. Covers the
+    full composition: self kernel -> XLA out-proj -> cache splice -> cross
+    kernel -> residual+proj+MLP kernel."""
+
+    def _block(self, qk_norm, gated, C=128, H=4):
+        from fourm_tpu.ops.transformer import DecoderBlock
+        import flax.linen as nn
+        from fourm_tpu.ops.transformer import gelu_exact
+
+        blk = DecoderBlock(
+            dim=C, num_heads=H, mlp_ratio=4.0, qkv_bias=not qk_norm,
+            proj_bias=not qk_norm, mlp_bias=not qk_norm,
+            act=nn.silu if gated else gelu_exact, gated_mlp=gated,
+            qk_norm=qk_norm, norm_bias=not qk_norm, dtype=jnp.float32,
+        )
+        return blk
+
+    @pytest.mark.parametrize("qk_norm,gated", [(False, False), (True, True)])
+    def test_full_step_matches_unfused(self, qk_norm, gated):
+        from fourm_tpu.kernels.decode_step import (pallas_cross_decode_attn,
+                                                   pallas_residual_mlp,
+                                                   pallas_self_decode)
+        from fourm_tpu.ops.transformer import MASK_FILL_VALUE
+
+        B, C, H, L, M = 4, 128, 4, 32, 64
+        Dh = C // H
+        blk = self._block(qk_norm, gated, C, H)
+        rng = np.random.RandomState(0)
+        x_t = jnp.asarray(rng.randn(B, 1, C), jnp.float32) * 0.2
+        cross_k = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.2
+        cross_v = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.2
+        xa_mask = jnp.asarray(rng.rand(B, M) > 0.7)
+        step_idx = jnp.int32(5)
+        cache_k = jnp.asarray(rng.randn(B, H, Dh, L), jnp.float32) * 0.2
+        cache_v = jnp.asarray(rng.randn(B, H, Dh, L), jnp.float32) * 0.2
+        params = blk.init(jax.random.key(0), x_t, jnp.zeros((B, 1, C)),
+                          method=lambda m, x, c: m(x, c))
+
+        want_x, want_ck, want_cv = blk.apply(
+            params, x_t, cache_k, cache_v, cross_k, cross_v, xa_mask,
+            step_idx, method="step")
+
+        p = params["params"]
+        def path(*ks):
+            d = p
+            for k in ks:
+                d = d[k]
+            return d
+        def maybe(*ks):
+            d = p
+            for k in ks:
+                if k not in d:
+                    return None
+                d = d[k]
+            return d
+
+        x2 = x_t[:, 0]
+        res = pallas_self_decode(
+            x2,
+            path("norm1", "weight"), maybe("norm1", "bias"),
+            path("self_attn", "qkv", "kernel"), maybe("self_attn", "qkv", "bias"),
+            path("self_attn", "q_norm", "weight") if qk_norm else None,
+            maybe("self_attn", "q_norm", "bias") if qk_norm else None,
+            path("self_attn", "k_norm", "weight") if qk_norm else None,
+            maybe("self_attn", "k_norm", "bias") if qk_norm else None,
+            cache_k, cache_v, step_idx, H, interpret=True)
+        assert res is not None
+        attn, ck, cv = res
+        wp = path("self_attn", "proj", "kernel")
+        bp = maybe("self_attn", "proj", "bias")
+        x2 = x2 + (attn @ wp + (0 if bp is None else bp))
+        np.testing.assert_allclose(np.asarray(ck), np.asarray(want_ck),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(want_cv),
+                                   atol=2e-5, rtol=1e-4)
+
+        bias = jnp.where(xa_mask, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        attn_x = pallas_cross_decode_attn(
+            x2,
+            path("query_norm", "weight"), maybe("query_norm", "bias"),
+            path("cross_attn", "q", "kernel"), maybe("cross_attn", "q", "bias"),
+            path("cross_attn", "q_norm", "weight") if qk_norm else None,
+            maybe("cross_attn", "q_norm", "bias") if qk_norm else None,
+            cross_k, cross_v, bias, H, interpret=True)
+        assert attn_x is not None
+
+        if gated:
+            w1 = path("mlp", "fc1", "kernel"); w3 = path("mlp", "fc3", "kernel")
+            w2 = path("mlp", "fc2", "kernel")
+            b1 = maybe("mlp", "fc1", "bias"); b3 = maybe("mlp", "fc3", "bias")
+            b2 = maybe("mlp", "fc2", "bias")
+        else:
+            w1 = path("mlp", "fc1", "kernel"); w2 = path("mlp", "fc2", "kernel")
+            b1 = maybe("mlp", "fc1", "bias"); b2 = maybe("mlp", "fc2", "bias")
+            w3 = b3 = None
+        out = pallas_residual_mlp(
+            x2, attn_x,
+            path("cross_attn", "proj", "kernel"), maybe("cross_attn", "proj", "bias"),
+            path("norm2", "weight"), maybe("norm2", "bias"),
+            w1, b1, w2, b2, w3, b3, gated=gated, act_silu=gated,
+            interpret=True)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out[:, None, :]),
+                                   np.asarray(want_x), atol=5e-5, rtol=1e-3)
+
+    def test_step_idx_zero_empty_cache(self):
+        """step_idx=0: every cache position masked; attention must collapse to
+        the new token alone (prob 1), not NaN."""
+        from fourm_tpu.kernels.decode_step import pallas_self_decode
+
+        B, C, H, L = 2, 64, 2, 32
+        Dh = C // H
+        rng = np.random.RandomState(1)
+        x2 = jnp.asarray(rng.randn(B, C), jnp.float32) * 0.3
+        g1 = jnp.ones((C,), jnp.float32)
+        wq = jnp.asarray(rng.randn(C, 3 * C), jnp.float32) * 0.05
+        cache = jnp.zeros((B, H, Dh, L), jnp.float32)
+        res = pallas_self_decode(x2, g1, None, wq, None, None, None, None,
+                                 None, cache, cache, jnp.int32(0), H,
+                                 interpret=True)
+        attn, ck, cv = res
+        assert np.isfinite(np.asarray(attn)).all()
+        # prob 1 on the new token => attn output == v_new == cache col 0
+        x32 = np.asarray(x2, np.float64)
+        mean = x32.mean(-1, keepdims=True)
+        var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+        h = (x32 - mean) / np.sqrt(var + 1e-6)
+        qkv = h @ np.asarray(wq, np.float64)
+        v_ref = qkv[:, 2 * C:]
+        np.testing.assert_allclose(np.asarray(attn), v_ref, atol=1e-4, rtol=1e-4)
+        got_v0 = np.asarray(cv)[:, :, :, 0].reshape(B, C)
+        np.testing.assert_allclose(got_v0, v_ref, atol=1e-4, rtol=1e-4)
+        # untouched columns preserved through the aliased in-kernel update
+        np.testing.assert_array_equal(np.asarray(ck)[:, :, :, 1:],
+                                      np.asarray(cache)[:, :, :, 1:])
+
+    def test_softmax1_denominator(self):
+        """allow_zero_attn: softmax1's virtual zero logit must appear in the
+        denominator exactly as decode_attention's softmax1."""
+        from fourm_tpu.kernels.decode_step import pallas_cross_decode_attn
+        from fourm_tpu.ops.transformer import decode_attention
+
+        B, C, H, M = 2, 64, 2, 64
+        Dh = C // H
+        rng = np.random.RandomState(2)
+        x2 = jnp.asarray(rng.randn(B, C), jnp.float32) * 0.3
+        k_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.3
+        v_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.3
+        gq = jnp.ones((C,), jnp.float32)
+        wq = jnp.asarray(rng.randn(C, C), jnp.float32) * 0.05
+        attn = pallas_cross_decode_attn(x2, gq, None, wq, None, None, None,
+                                        k_dm, v_dm, None, H,
+                                        allow_zero_attn=True, interpret=True)
+        # reference: query_norm -> q proj -> decode_attention(softmax1)
+        x32 = x2.astype(jnp.float32)
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+        h = (x32 - mean) * jax.lax.rsqrt(var + 1e-6) * gq
+        q = (h @ wq).reshape(B, 1, H, Dh).swapaxes(1, 2)  # (B, H, 1, Dh)
+        att = decode_attention(q, k_dm, v_dm, None, allow_zero_attn=True)
+        want = att.swapaxes(1, 2).reshape(B, C)
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("qk_norm,gated", [(False, False), (True, True)])
+    def test_fused_step_module_path(self, qk_norm, gated, monkeypatch):
+        """Drive DecoderBlock._fused_step itself (param extraction + kernel
+        wiring) on CPU: monkeypatch the backend gate and force interpret mode.
+        Catches wiring bugs the direct-kernel tests can't (e.g. return_params
+        shape inference for the (Dh,) qk-norm params)."""
+        import functools
+        import fourm_tpu.kernels.decode_step as ds
+        import fourm_tpu.ops.transformer as tr
+
+        B, C, H, L, M = 4, 128, 4, 32, 64
+        Dh = C // H
+        blk = self._block(qk_norm, gated, C, H)
+        rng = np.random.RandomState(3)
+        x_t = jnp.asarray(rng.randn(B, 1, C), jnp.float32) * 0.2
+        cross_k = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.2
+        cross_v = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.2
+        xa_mask = jnp.asarray(rng.rand(B, M) > 0.7)
+        step_idx = jnp.int32(7)
+        cache_k = jnp.asarray(rng.randn(B, H, Dh, L), jnp.float32) * 0.2
+        cache_v = jnp.asarray(rng.randn(B, H, Dh, L), jnp.float32) * 0.2
+        params = blk.init(jax.random.key(0), x_t, jnp.zeros((B, 1, C)),
+                          method=lambda m, x, c: m(x, c))
+
+        want = blk.apply(params, x_t, cache_k, cache_v, cross_k, cross_v,
+                         xa_mask, step_idx, method="step")
+
+        monkeypatch.setattr(tr.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(ds, "pallas_self_decode", functools.partial(
+            pallas_self_decode_orig, interpret=True))
+        monkeypatch.setattr(ds, "pallas_cross_decode_attn", functools.partial(
+            pallas_cross_decode_attn_orig, interpret=True))
+        monkeypatch.setattr(ds, "pallas_residual_mlp", functools.partial(
+            pallas_residual_mlp_orig, interpret=True))
+        from fourm_tpu.ops.transformer import use_pallas_attention
+        with use_pallas_attention():
+            got = blk.apply(params, x_t, cache_k, cache_v, cross_k, cross_v,
+                            xa_mask, step_idx, method="step")
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=5e-5, rtol=1e-3)
+
+
+from fourm_tpu.kernels.decode_step import (
+    pallas_cross_decode_attn as pallas_cross_decode_attn_orig,
+    pallas_residual_mlp as pallas_residual_mlp_orig,
+    pallas_self_decode as pallas_self_decode_orig,
+)
