@@ -493,3 +493,198 @@ def pallas_attn_block(
             transcendentals=B * num_heads * N * N,
         ),
     )(*args)
+
+
+def _flash_mha_kernel(scale, eps, allow_zero_attn, qk_norm, qn_bias, kn_bias,
+                      bias_mode, num_heads, head_dim, n_kblocks, block_k,
+                      valid_m, compute_dtype):
+    """Heads-in-kernel blocked flash: one grid cell covers ALL heads of a
+    (q-block, k-block) tile, so at 4M prefill shapes (B=16, H=12, N=2304)
+    the grid is 144 cells/layer instead of 1728 — per-cell overhead was the
+    dominant encoder cost (measured ~2.7 us/cell against 0.77 us of MXU).
+    Per-head QK-norm runs in-kernel: the XLA path materialized the normed
+    (B, H, N, Dh) q/k through HBM (113 MB/layer round trip at these shapes).
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref = next(it)  # (1, bq, C)
+        k_ref = next(it)  # (1, bk, C)
+        v_ref = next(it)
+        qn_g = next(it)[...] if qk_norm else None
+        qn_b = next(it)[...] if qn_bias else None
+        kn_g = next(it)[...] if qk_norm else None
+        kn_b = next(it)[...] if kn_bias else None
+        b_ref = next(it) if bias_mode == "key" else None  # (1, 1, bk)
+        o_ref = next(it)  # (1, bq, C)
+        m_scr = next(it)  # (bq, 128) fp32 — col per head
+        l_scr = next(it)
+        acc_scr = next(it)  # (bq, C) fp32
+
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        kb = k_ref[0]  # (bk, C)
+        vb = v_ref[0]
+        qb = q_ref[0]  # (bq, C)
+        bias = b_ref[0, 0][None, :] if b_ref is not None else None  # (1, bk)
+        pad_mask = None
+        if valid_m % block_k:
+            kidx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1) + ki * block_k
+            pad_mask = kidx < valid_m  # (1, bk)
+
+        for hh in range(num_heads):
+            sl = slice(hh * head_dim, (hh + 1) * head_dim)
+            q_h = qb[:, sl].astype(jnp.float32)
+            k_h = kb[:, sl].astype(jnp.float32)
+            if qk_norm:
+                def _ln(x32, g, b):
+                    mean = jnp.mean(x32, axis=-1, keepdims=True)
+                    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+                    y = (x32 - mean) * jax.lax.rsqrt(var + eps) * g
+                    return y + b if b is not None else y
+                # match Attention._split_qkv: LN in fp32, cast to compute
+                q_h = _ln(q_h, qn_g, qn_b).astype(compute_dtype).astype(jnp.float32)
+                k_h = _ln(k_h, kn_g, kn_b).astype(compute_dtype).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (bq, bk)
+            if bias is not None:
+                s = s + bias
+            if pad_mask is not None:
+                s = jnp.where(pad_mask, s, jnp.finfo(jnp.float32).min)
+            m_prev = m_scr[:, hh : hh + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[:, hh : hh + 1] = l_scr[:, hh : hh + 1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True)
+            acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
+                p.astype(compute_dtype).astype(jnp.float32),
+                vb[:, sl].astype(jnp.float32),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            m_scr[:, hh : hh + 1] = m_new
+
+        @pl.when(ki == n_kblocks - 1)
+        def _():
+            for hh in range(num_heads):
+                sl = slice(hh * head_dim, (hh + 1) * head_dim)
+                denom = l_scr[:, hh : hh + 1]
+                if allow_zero_attn:
+                    denom = denom + jnp.exp(-m_scr[:, hh : hh + 1])
+                o_ref[0, :, sl] = (acc_scr[:, sl] / denom).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "eps", "allow_zero_attn", "interpret"))
+def pallas_flash_mha(
+    q: jnp.ndarray,  # (B, N, C) lane-concat heads (e.g. a QKV output slice)
+    k: jnp.ndarray,  # (B, M, C)
+    v: jnp.ndarray,
+    num_heads: int,
+    bias=None,  # fp32 (B, M) additive KEY bias, or None
+    qn_gamma=None,  # fp32 (Dh,) per-head q-norm scale, or None
+    qn_beta=None,
+    kn_gamma=None,
+    kn_beta=None,
+    eps: float = 1e-6,
+    allow_zero_attn: bool = False,
+    interpret: bool = False,
+):
+    """Long-sequence multi-head flash attention with ALL heads per grid cell
+    and optional in-kernel per-head QK-norm. Input/output layout is
+    (B, N, C) lane-concatenated heads — zero transposes against the fused
+    LN+QKV producer and the out-projection consumer. Returns (B, N, C).
+    Returns None when no lane-aligned blocking fits VMEM."""
+    B, N, C = q.shape
+    M = k.shape[1]
+    Dh = C // num_heads
+    scale = Dh**-0.5
+    itemsize = jnp.dtype(q.dtype).itemsize
+    qk_norm = qn_gamma is not None
+
+    def _pick(n):
+        for c in (1024, 768, 512, 384, 256, 128):
+            if c <= n and n % c == 0:
+                return c
+        return 0
+
+    bq, bk = _pick(N), _pick(M)
+    if not bq or not bk:
+        return None
+    # working set: q block + 2-buffered k/v blocks + fp32 acc + one (bq, bk)
+    # fp32 logits tile + out block + m/l scratch
+    while bq >= 128:
+        vmem = (bq * C * itemsize + 2 * 2 * bk * C * itemsize
+                + bq * C * 4 + bq * bk * 4 + bq * C * itemsize + 2 * bq * 512)
+        if vmem <= 13 * 2**20:
+            break
+        if bk >= bq and bk > 128:
+            nb = _pick(bk // 2) if bk // 2 >= 128 else 0
+            if nb and M % nb == 0:
+                bk = nb
+                continue
+        nb = _pick(bq // 2) if bq // 2 >= 128 else 0
+        if not nb:
+            return None
+        bq = nb
+    else:
+        return None
+    nq, nk = N // bq, M // bk
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda b, qi, ki: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    cast = lambda a: a.astype(jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, bq, C), lambda b, qi, ki: (b, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, C), lambda b, qi, ki: (b, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, C), lambda b, qi, ki: (b, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if qk_norm:
+        for a in (qn_gamma, qn_beta, kn_gamma, kn_beta):
+            if a is not None:
+                in_specs.append(const_spec(a.shape))
+                args.append(cast(a))
+    bias_mode = "none"
+    if bias is not None:
+        bias_mode = "key"
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b, 0, ki),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32)[:, None, :])
+
+    return pl.pallas_call(
+        _flash_mha_kernel(scale, eps, allow_zero_attn, qk_norm,
+                          qn_beta is not None, kn_beta is not None, bias_mode,
+                          num_heads, Dh, nk, bk, M, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        grid=(B, nq, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, C), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * N * M * Dh,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * itemsize,
+            transcendentals=B * num_heads * N * M,
+        ),
+    )(*args)

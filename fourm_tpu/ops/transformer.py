@@ -400,6 +400,27 @@ class Attention(nn.Module):
         qkv = pallas_ln_matmul(x, gamma, beta, w.astype(self.dtype), b,
                                eps=norm.eps)
         head_dim = C // self.num_heads
+        # heads-in-kernel flash with in-kernel QK-norm: fewer, fatter grid
+        # cells (144 vs 1728 per layer at 4M prefill shapes) and no
+        # (B, H, N, Dh) materialization of the normed q/k through HBM
+        from ..kernels.attention import pallas_flash_mha
+
+        bias2 = None
+        if mask is not None:
+            m2 = mask if mask.ndim == 2 else mask[:, 0]
+            bias2 = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        if self.qk_norm:
+            dh_probe = x[:, 0, :head_dim]
+            qng, qnb = self.q_norm(dh_probe, return_params=True)
+            kng, knb = self.k_norm(dh_probe, return_params=True)
+        else:
+            qng = qnb = kng = knb = None
+        out3 = pallas_flash_mha(
+            qkv[:, :, :C], qkv[:, :, C : 2 * C], qkv[:, :, 2 * C :],
+            self.num_heads, bias2, qng, qnb, kng, knb, eps=norm.eps,
+            allow_zero_attn=self.allow_zero_attn)
+        if out3 is not None:
+            return x + self.proj(out3)
         qkv5 = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = [shard_activation(jnp.moveaxis(qkv5[:, :, i], 1, 2), "heads")
                    for i in range(3)]

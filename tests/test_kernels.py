@@ -709,3 +709,76 @@ from fourm_tpu.kernels.decode_step import (
     pallas_residual_mlp as pallas_residual_mlp_orig,
     pallas_self_decode as pallas_self_decode_orig,
 )
+
+
+class TestFlashMHA:
+    """Heads-in-kernel flash (pallas_flash_mha) vs the split-head XLA
+    reference, incl. in-kernel per-head QK-norm and key-bias masks."""
+
+    def _ref(self, q3, k3, v3, H, bias2, qng, qnb, kng, knb):
+        from fourm_tpu.ops.transformer import dot_product_attention
+
+        B, N, C = q3.shape
+        Dh = C // H
+        def split(a):
+            return jnp.moveaxis(a.reshape(B, N, H, Dh), 1, 2)
+        q, k, v = split(q3), split(k3), split(v3)
+        def ln(a, g, b):
+            a32 = a.astype(jnp.float32)
+            mean = jnp.mean(a32, -1, keepdims=True)
+            var = jnp.mean(jnp.square(a32 - mean), -1, keepdims=True)
+            y = (a32 - mean) * jax.lax.rsqrt(var + 1e-6) * g
+            if b is not None:
+                y = y + b
+            return y.astype(a.dtype)
+        if qng is not None:
+            q, k = ln(q, qng, qnb), ln(k, kng, knb)
+        bias4 = None if bias2 is None else bias2[:, None, None, :]
+        out = dot_product_attention(q, k, v, bias4)
+        return jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+
+    @pytest.mark.parametrize("qk_norm,with_bias", [(False, True), (True, False),
+                                                   (True, True)])
+    def test_matches_reference(self, qk_norm, with_bias):
+        from fourm_tpu.kernels.attention import pallas_flash_mha
+        from fourm_tpu.ops.transformer import MASK_FILL_VALUE
+
+        B, N, C, H = 2, 384, 64, 2
+        Dh = C // H
+        rng = np.random.RandomState(0)
+        r = lambda *s: jnp.asarray(rng.randn(*s), jnp.float32) * 0.3
+        q3, k3, v3 = r(B, N, C), r(B, N, C), r(B, N, C)
+        bias2 = None
+        if with_bias:
+            mask = rng.rand(B, N) > 0.8
+            bias2 = jnp.where(jnp.asarray(mask), MASK_FILL_VALUE, 0.0
+                              ).astype(jnp.float32)
+        qng = jnp.asarray(rng.rand(Dh) + 0.5, jnp.float32) if qk_norm else None
+        qnb = jnp.asarray(rng.randn(Dh) * 0.1, jnp.float32) if qk_norm else None
+        kng = jnp.asarray(rng.rand(Dh) + 0.5, jnp.float32) if qk_norm else None
+        knb = None
+        got = pallas_flash_mha(q3, k3, v3, H, bias2, qng, qnb, kng, knb,
+                               interpret=True)
+        assert got is not None
+        want = self._ref(q3, k3, v3, H, bias2, qng, qnb, kng, knb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_nondivisible_returns_none(self):
+        from fourm_tpu.kernels.attention import pallas_flash_mha
+
+        q = jnp.zeros((1, 130, 64), jnp.float32)
+        assert pallas_flash_mha(q, q, q, 2) is None
+
+    def test_blocked_streams_match_single_block(self):
+        """N=512 with forced multi-block online softmax == one-shot result."""
+        from fourm_tpu.kernels.attention import pallas_flash_mha
+
+        B, N, C, H = 1, 512, 128, 4
+        rng = np.random.RandomState(3)
+        r = lambda *s: jnp.asarray(rng.randn(*s), jnp.float32) * 0.3
+        q3, k3, v3 = r(B, N, C), r(B, N, C), r(B, N, C)
+        got = pallas_flash_mha(q3, k3, v3, H, interpret=True)
+        want = self._ref(q3, k3, v3, H, None, None, None, None, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
