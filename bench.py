@@ -15,12 +15,19 @@ Extra fields in the same JSON object:
     plus a roofline fraction vs the HBM-bandwidth bound of the codebook search.
   * train_step_samples_per_sec + train_mfu: 4M-B mod-7 training step (128/128
     tokens) and its model-FLOPs-utilization estimate vs 197 TFLOP/s bf16 (v5e).
-BENCH_FULL=1 additionally runs the 448px SR chain and the 4M-XL variant
-(several extra minutes of compiles on a cold cache).
+  * xl_chain_samples_per_sec + xl_vs_baseline: the 4M-XL 3-target chain and
+    its ratio vs the analytical reference-on-A100 estimate of the same chain
+    (scripts/estimate_reference_a100.py) — the BASELINE.md north-star number.
+  * sr448_samples_per_sec: the 448px super-resolution chain (784-token
+    modalities), in the default run since round 4.
+  * vs_baseline (top level): headline chain vs the analytical A100 eager
+    estimate of the reference pipeline (the reference publishes no throughput
+    numbers, SURVEY.md §6 — BASELINE.md documents the derivation);
+    vs_baseline_peak_bound divides by the unattainable 100%-MFU bound.
+BENCH_SKIP_XL=1 / BENCH_SKIP_SR=1 opt out of the XL / SR chains for quick
+iterations (first cold-cache compile of each costs several minutes).
 
-Prints ONE JSON line. The reference repo publishes no throughput numbers
-(SURVEY.md §6), so vs_baseline stays null until an A100 measurement of the
-reference exists.
+Prints ONE JSON line.
 """
 
 import json

@@ -264,6 +264,7 @@ class TestFusedPrenormParity:
         for mod, name in ((attn_mod, "pallas_attention"),
                           (attn_mod, "pallas_mha_short"),
                           (attn_mod, "pallas_attn_block"),
+                          (attn_mod, "pallas_flash_mha"),
                           (mlp_mod, "pallas_ln_matmul"),
                           (mlp_mod, "pallas_ln_mlp")):
             fn = getattr(mod, name)
