@@ -170,15 +170,18 @@ class FourMSampler:
         mods_sr: Optional[List[str]] = None,
         top_k: float = 0.0,
         top_p: float = 0.0,
+        kv_quant: Optional[str] = None,
     ):
         self.model, self.variables = fm
         self.sampler = GenerationSampler(
-            self.model, self.variables, text_tokenizer, top_k=top_k, top_p=top_p
+            self.model, self.variables, text_tokenizer, top_k=top_k, top_p=top_p,
+            kv_quant=kv_quant,
         )
         if fm_sr is not None:
             self.model_sr, self.variables_sr = fm_sr
             self.sampler_sr = GenerationSampler(
-                self.model_sr, self.variables_sr, text_tokenizer, top_k=top_k, top_p=top_p
+                self.model_sr, self.variables_sr, text_tokenizer, top_k=top_k,
+                top_p=top_p, kv_quant=kv_quant,
             )
         else:
             self.sampler_sr = None

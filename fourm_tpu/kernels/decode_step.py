@@ -269,8 +269,8 @@ def pallas_self_decode(
 
 
 def _cross_attn_kernel(scale, eps, allow_zero_attn, qk_norm, has_bq,
-                       norm_bias, cqn_bias, has_bias, num_heads, head_dim,
-                       h_blk, n_mblocks, block_m, compute_dtype):
+                       norm_bias, cqn_bias, has_bias, quant, num_heads,
+                       head_dim, h_blk, n_mblocks, block_m, compute_dtype):
     def kernel(*refs):
         it = iter(refs)
         x_ref = next(it)
@@ -280,8 +280,10 @@ def _cross_attn_kernel(scale, eps, allow_zero_attn, qk_norm, has_bq,
         bq_ref = next(it) if has_bq else None
         cq_g = next(it)[...] if qk_norm else None
         cq_b = next(it)[...] if cqn_bias else None
-        k_ref = next(it)  # (B, h_blk, Dh, bm)
+        k_ref = next(it)  # (B, h_blk, Dh, bm) — int8 when quant
         v_ref = next(it)
+        ks_ref = next(it) if quant else None  # (B, h_blk*Dh) fp32 scales
+        vs_ref = next(it) if quant else None
         b_ref = next(it) if has_bias else None  # (B, bm) fp32 additive
         o_ref = next(it)  # (B, h_blk*Dh) per-head attention out block
         q_scr = next(it)  # (B, h_blk*Dh)
@@ -312,6 +314,11 @@ def _cross_attn_kernel(scale, eps, allow_zero_attn, qk_norm, has_bq,
         for lh in range(h_blk):
             sl = slice(lh * head_dim, (lh + 1) * head_dim)
             q_h = q_scr[:, sl].astype(jnp.float32)
+            if quant:
+                # int8 KV: fold the per-(B, Dh) K scale into q BEFORE the
+                # reduction and the V scale into acc AFTER it — no dequantized
+                # tensor is ever materialized; HBM traffic halves
+                q_h = q_h * ks_ref[:, sl]
             k_blk = k_ref[:, lh].astype(jnp.float32)  # (B, Dh, bm)
             v_blk = v_ref[:, lh].astype(jnp.float32)
             # VPU multiply+sublane-reduce (see _self_decode_kernel note on
@@ -336,7 +343,10 @@ def _cross_attn_kernel(scale, eps, allow_zero_attn, qk_norm, has_bq,
                 l_fin = l_scr[:, lh : lh + 1]
                 if allow_zero_attn:
                     l_fin = l_fin + jnp.exp(-m_scr[:, lh : lh + 1])
-                o_ref[:, sl] = (acc_scr[:, sl] / l_fin).astype(o_ref.dtype)
+                out_h = acc_scr[:, sl]
+                if quant:
+                    out_h = out_h * vs_ref[:, sl]
+                o_ref[:, sl] = (out_h / l_fin).astype(o_ref.dtype)
 
     return kernel
 
@@ -357,6 +367,8 @@ def pallas_cross_decode_attn(
     num_heads: int,
     eps: float = 1e-6,
     allow_zero_attn: bool = False,
+    k_scale=None,  # fp32 (B, H, Dh) per-channel scales when k_dm is int8
+    v_scale=None,
     interpret: bool = False,
 ):
     """Cross-attention core of a decoder step: per-head
@@ -364,13 +376,19 @@ def pallas_cross_decode_attn(
     streamed in (head-group, M-block) grid cells — this read (113 MB/layer
     at 4M-B chain shapes) IS the decode loop's bandwidth floor. Returns raw
     lane-concatenated head outputs (B, C); the out-projection + residual run
-    in pallas_residual_mlp. Returns None when no blocking fits VMEM."""
+    in pallas_residual_mlp. Returns None when no blocking fits VMEM.
+
+    int8 KV mode (k_scale/v_scale given, k_dm/v_dm int8): halves the KV
+    stream; the K scale folds into q before the logits reduction and the V
+    scale into the accumulator after it — no per-element dequantization."""
     B, C = x.shape
     H = num_heads
     Dh = C // H
     M = k_dm.shape[3]
     scale = Dh**-0.5
     itemsize = jnp.dtype(x.dtype).itemsize
+    quant = k_scale is not None
+    kv_itemsize = jnp.dtype(k_dm.dtype).itemsize
 
     # pick (h_blk, bm): fewest grid cells whose double-buffered KV stream +
     # per-group Q-projection column block fit the budget; bm must be a
@@ -384,7 +402,7 @@ def pallas_cross_decode_attn(
                    384, 256, 128):
             if bm > M or M % bm or (bm != M and bm % 128):
                 continue
-            stream = 2 * 2 * B * h_blk * Dh * bm * itemsize
+            stream = 2 * 2 * B * h_blk * Dh * bm * kv_itemsize
             resident = (C * h_blk * Dh + 6 * B * C) * itemsize + 2 * B * C * 4
             if stream + resident <= _VMEM_BUDGET:
                 cells = (H // h_blk) * (M // bm)
@@ -427,6 +445,12 @@ def pallas_cross_decode_attn(
                                      lambda hi, mi: (0, hi, 0, mi),
                                      memory_space=pltpu.VMEM))
         args.append(c)
+    if quant:
+        sspec = pl.BlockSpec((B, h_blk * Dh), lambda hi, mi: (0, hi),
+                             memory_space=pltpu.VMEM)
+        for s in (k_scale, v_scale):
+            in_specs.append(sspec)
+            args.append(s.reshape(B, H * Dh).astype(jnp.float32))
     if bias is not None:
         in_specs.append(pl.BlockSpec((B, bm), lambda hi, mi: (0, mi),
                                      memory_space=pltpu.VMEM))
@@ -435,8 +459,8 @@ def pallas_cross_decode_attn(
     out = pl.pallas_call(
         _cross_attn_kernel(scale, eps, allow_zero_attn, qk_norm,
                            b_q is not None, qn_beta is not None,
-                           cqn_beta is not None, bias is not None, H, Dh,
-                           h_blk, n_m, bm, x.dtype),
+                           cqn_beta is not None, bias is not None, quant, H,
+                           Dh, h_blk, n_m, bm, x.dtype),
         out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
         grid=(n_h, n_m),
         in_specs=in_specs,
@@ -451,11 +475,30 @@ def pallas_cross_decode_attn(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * C * C + 4 * B * H * M * Dh,
-            bytes_accessed=(k_dm.size + v_dm.size + w_q.size) * itemsize,
+            bytes_accessed=(k_dm.size + v_dm.size) * kv_itemsize
+            + w_q.size * itemsize,
             transcendentals=B * H * M,
         ),
     )(*args)
     return out
+
+
+@jax.jit
+def quantize_kv_decode(k_dm: jnp.ndarray, v_dm: jnp.ndarray):
+    """Per-(B, H, Dh)-channel symmetric int8 quantization of decode-layout
+    cross-KV: returns (k_i8, k_scale, v_i8, v_scale) for the int8 mode of
+    pallas_cross_decode_attn. Scales are absmax/127 over the M axis — the
+    channel axis matches how the kernel folds them (K into q, V into acc)."""
+    def q(a):
+        absmax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=3)  # (B, H, Dh)
+        s = jnp.maximum(absmax, 1e-12) / 127.0
+        i8 = jnp.clip(jnp.round(a.astype(jnp.float32) / s[..., None]),
+                      -127, 127).astype(jnp.int8)
+        return i8, s
+
+    k_i8, ks = q(k_dm)
+    v_i8, vs = q(v_dm)
+    return k_i8, ks, v_i8, vs
 
 
 def _residual_mlp_kernel(eps, gated, act_silu, has_bp, norm_bias, mlp_bias,

@@ -802,6 +802,14 @@ class DecoderBlock(nn.Module):
                                  xa_mask, step_idx)
         if fused is not None:
             return fused
+        # int8-quantized cross-KV ((i8, scale) tuples, see
+        # kernels.decode_step.quantize_kv_decode): the XLA fallback
+        # dequantizes — it is the tested oracle for the fused int8 kernel
+        if isinstance(cross_k, tuple):
+            cross_k = (cross_k[0].astype(jnp.float32)
+                       * cross_k[1][..., None]).astype(self.dtype)
+            cross_v = (cross_v[0].astype(jnp.float32)
+                       * cross_v[1][..., None]).astype(self.dtype)
         sa_out, cache_k, cache_v = self.self_attn.step(self.norm1(x_t), cache_k, cache_v, step_idx)
         x_t = x_t + sa_out
         x_t = x_t + self.cross_attn.attend_decode(self.query_norm(x_t), cross_k, cross_v, xa_mask)
@@ -856,10 +864,14 @@ class DecoderBlock(nn.Module):
         if xa_mask is not None:
             m2 = xa_mask[:, 0] if xa_mask.ndim == 3 else xa_mask
             bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        k_scale = v_scale = None
+        if isinstance(cross_k, tuple):  # int8 KV: (i8, per-channel scale)
+            (cross_k, k_scale), (cross_v, v_scale) = cross_k, cross_v
         attn_x = pallas_cross_decode_attn(
             x2, qn_g, qn_b, wqx.astype(dt), bqx, cqg, cqb, cross_k, cross_v,
             bias, H, eps=self.query_norm.eps,
-            allow_zero_attn=self.allow_zero_attn)
+            allow_zero_attn=self.allow_zero_attn,
+            k_scale=k_scale, v_scale=v_scale)
         if attn_x is None:
             return None
 

@@ -782,3 +782,103 @@ class TestFlashMHA:
         want = self._ref(q3, k3, v3, H, None, None, None, None, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=1e-4)
+
+
+class TestInt8CrossKV:
+    """int8 cross-KV decode: the fused kernel with folded scales must match
+    the bf16 kernel run on the dequantized tensors (identical math, different
+    fold order), and quantization error itself must stay small."""
+
+    def test_kernel_matches_dequantized_oracle(self):
+        from fourm_tpu.kernels.decode_step import (pallas_cross_decode_attn,
+                                                   quantize_kv_decode)
+
+        B, C, H, M = 2, 64, 2, 128
+        Dh = C // H
+        rng = np.random.RandomState(5)
+        r = lambda *s: jnp.asarray(rng.randn(*s), jnp.float32) * 0.4
+        x = r(B, C)
+        gq = jnp.ones((C,), jnp.float32)
+        wq = r(C, C) * 0.2
+        k_dm, v_dm = r(B, H, Dh, M), r(B, H, Dh, M)
+        k_i8, ks, v_i8, vs = quantize_kv_decode(k_dm, v_dm)
+
+        got = pallas_cross_decode_attn(x, gq, None, wq, None, None, None,
+                                       k_i8, v_i8, None, H,
+                                       k_scale=ks, v_scale=vs, interpret=True)
+        deq_k = (k_i8.astype(jnp.float32) * ks[..., None])
+        deq_v = (v_i8.astype(jnp.float32) * vs[..., None])
+        want = pallas_cross_decode_attn(x, gq, None, wq, None, None, None,
+                                        deq_k, deq_v, None, H, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+        # quantization error vs the unquantized KV stays ~1% relative
+        ref = pallas_cross_decode_attn(x, gq, None, wq, None, None, None,
+                                       k_dm, v_dm, None, H, interpret=True)
+        rel = (np.abs(np.asarray(got) - np.asarray(ref)).max()
+               / max(np.abs(np.asarray(ref)).max(), 1e-9))
+        assert rel < 0.05, rel
+
+    def test_sampler_kv_quant_end_to_end(self, tmp_path):
+        """kv_quant='int8' runs the full AR path (CPU: XLA dequantize
+        fallback) and produces near-identical tokens to the bf16 sampler on
+        an untrained tiny model."""
+        from tests.test_generation import make_caption_cond, tiny_gen  # noqa: F401
+        from fourm_tpu.generate import (GenerationSampler,
+                                        build_chained_generation_schedules,
+                                        init_empty_target_modality)
+        from fourm_tpu.models import FourM, create_fourm_config
+        from fourm_tpu.utils.synthetic import synthetic_mod_batch
+
+        cfg = create_fourm_config(
+            "fm_tiny_6e_6d_gelu",
+            encoder_modalities=("tok_rgb@224", "caption"),
+            decoder_modalities=("tok_rgb@224", "caption"),
+            dim=128, encoder_depth=2, decoder_depth=2, num_heads=4,
+        )
+        model = FourM(cfg)
+        batch = jax.tree.map(jnp.asarray, synthetic_mod_batch(
+            ("tok_rgb@224", "caption"), 1, num_input_tokens=32,
+            num_target_tokens=32))
+        params = model.init(jax.random.key(0), batch, 32, 32)
+
+        mod_dict = make_caption_cond()
+        init_empty_target_modality(mod_dict, "caption", 1, 64)
+        # regenerate caption FROM rgb conditioning: AR with cross-KV
+        md0 = {"tok_rgb@224": {k: np.array(v) for k, v in
+                               batch["tok_rgb@224"].items()}}
+        from fourm_tpu.generate import init_full_input_modality
+        init_full_input_modality(md0, "tok_rgb@224")
+        init_empty_target_modality(md0, "caption", 1, 64)
+
+        schedule = build_chained_generation_schedules(
+            cond_domains=["tok_rgb@224"], target_domains=["caption"],
+            tokens_per_target=[None], autoregression_schemes=["autoregressive"],
+            decoding_steps=[None], token_decoding_schedules=[None],
+            temps=[0.0], temp_schedules=["constant"],
+            cfg_scales=[1.0], cfg_schedules=["constant"],
+        )
+        from fourm_tpu.utils.text_tokenizer import (
+            generate_sentinel_tokens, train_unified_wordpiece_tokenizer)
+
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("a photo of a cat\n" * 50)
+        tok = train_unified_wordpiece_tokenizer(
+            str(corpus), vocab_size=300,
+            sentinel_tokens=generate_sentinel_tokens(num=10),
+            show_progress=False)
+
+        outs = {}
+        for quant in (None, "int8"):
+            s = GenerationSampler(model, params, text_tokenizer=tok,
+                                  kv_quant=quant)
+            md = {m: dict(jax.tree.map(jnp.asarray, d)) for m, d in md0.items()}
+            counts = s._init_valid_counts(md)
+            for step_info in schedule:
+                md = s._generate_one_step(md, step_info, jax.random.key(2),
+                                          counts=counts)
+            outs[quant] = np.asarray(md["caption"]["tensor"])
+        # temp-0 argmax on an untrained model: tokens should agree nearly
+        # everywhere (quantization can flip near-ties)
+        agree = (outs[None] == outs["int8"]).mean()
+        assert agree > 0.9, agree
