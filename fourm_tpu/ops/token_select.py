@@ -43,6 +43,31 @@ def select_tokens(mask: jnp.ndarray, num_keep: int) -> jnp.ndarray:
     return idx.astype(jnp.int32)
 
 
+def select_tokens_partition(mask: jnp.ndarray, num_keep: int) -> jnp.ndarray:
+    """select_tokens via a cumsum + scatter stable partition instead of a
+    sort. The selection order (valid tokens in original order, then masked
+    ones) is a two-way stable partition, so the full O(N log N) sort behind
+    lax.top_k is unnecessary: two cumsums compute each position's destination
+    slot and one scatter inverts the permutation. Bit-identical output to
+    select_tokens (tests/test_ops.py). Kept alongside the top_k form so the
+    faster one on the current toolchain can be measured and chosen."""
+    O = mask.shape[-1]
+    num_keep = min(num_keep, O)
+    valid = ~mask
+    inc = jnp.cumsum(valid.astype(jnp.int32), axis=-1)  # inclusive
+    r_valid = inc - valid.astype(jnp.int32)  # exclusive rank among valid
+    total = inc[..., -1:]
+    r_masked = (jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+                - mask.astype(jnp.int32) + total)
+    dest = jnp.where(valid, r_valid, r_masked)  # (B, O) permutation
+    B = mask.shape[0]
+    pos = jnp.broadcast_to(jnp.arange(O, dtype=jnp.int32)[None, :], (B, O))
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, O))
+    idx_full = jnp.zeros((B, O), jnp.int32).at[b_idx, dest].set(
+        pos, mode="drop", unique_indices=True)
+    return idx_full[:, :num_keep]
+
+
 def gather_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather along axis 1 with batched indices. x: (B, O, ...), idx: (B, K)."""
     return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)

@@ -279,3 +279,19 @@ class TestFusedPrenormParity:
 
     def test_long_sequence_branch_keeps_residual(self, monkeypatch):
         self._run(monkeypatch, qk_norm=False, N=1152, B=1)
+
+
+class TestSelectTokensPartition:
+    def test_bit_identical_to_topk(self):
+        """The cumsum+scatter partition must reproduce select_tokens exactly
+        across edge cases: all-valid, all-masked, mixed, clamped budgets."""
+        from fourm_tpu.ops.token_select import (select_tokens,
+                                                select_tokens_partition)
+
+        rng = np.random.RandomState(0)
+        for B, O, k in [(4, 48, 32), (2, 3024, 2304), (1, 8, 8), (3, 16, 20)]:
+            for p in (0.0, 0.3, 0.7, 1.0):
+                mask = jnp.asarray(rng.rand(B, O) < p)
+                a = select_tokens(mask, k)
+                b = select_tokens_partition(mask, k)
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
