@@ -156,9 +156,9 @@ def random_state_dict(variables, num_classes=1008, seed=0):
     return sd
 
 
-# 95px input: InceptionV3 accepts >=75px and the parity math is size-
+# 75px input (the architecture minimum): the parity math is size-
 # independent — a 299px compile dominates suite wall-clock on the 1-core box
-PARITY_SIZE = 95
+PARITY_SIZE = 75
 
 
 @pytest.fixture(scope="module", params=[True, False], ids=["fid", "torchvision"])
