@@ -241,6 +241,87 @@ def bench_train_step(jax, jnp):
     return sps, mfu, hw_util
 
 
+def bench_decode_microbench(jax, jnp):
+    """In-jit AR decode loop cost per token at late-chain shapes (B=16,
+    budget 2304, 12 layers) for the fused bf16 path and the opt-in int8
+    cross-KV path. Two numbers the chain benchmarks can't separate: the
+    decode loop IS ~2/3 of the 6 AR targets' cost, and int8 halves its
+    dominant HBM read (kernels/decode_step.py)."""
+    import time
+
+    import numpy as np
+
+    from fourm_tpu.kernels.decode_step import quantize_kv_decode
+    from fourm_tpu.models import FourM, create_fourm_config
+    from fourm_tpu.ops.transformer import use_pallas_attention
+    from fourm_tpu.utils.synthetic import (
+        MOD21_DECODER_MODALITIES,
+        MOD21_MODALITIES,
+        synthetic_mod_batch,
+    )
+
+    B, L, M = 16, 256, 2304
+    cfg = create_fourm_config(
+        "fm_base_12e_12d_swiglu_qknorm_nobias",
+        encoder_modalities=MOD21_MODALITIES,
+        decoder_modalities=MOD21_DECODER_MODALITIES,
+        dtype="bfloat16",
+    )
+    model = FourM(cfg)
+    batch = jax.tree.map(jnp.asarray,
+                         synthetic_mod_batch(MOD21_MODALITIES, B, 64, 64, seed=0))
+
+    def _init(r):
+        p = model.init(r, jax.tree.map(lambda x: x[:1], batch), 64, 64)
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, p)
+
+    params = jax.jit(_init)(jax.random.key(0))
+    target = "caption"
+    nsteps = 64
+
+    with use_pallas_attention():
+        prefill = jax.jit(lambda p, md: model.apply(
+            p, md, target, L, M, method="ar_prefill"))
+        cross_kvs, enc_mask, y_emb = prefill(params, batch)
+        tok0 = jnp.asarray(np.full((B, 1), 7, np.int32))
+
+        @jax.jit
+        def loop(variables, tok, caches, ckvs, emask, yemb):
+            def body(i, carry):
+                tok, caches = carry
+                y_t = model.apply(variables, target, tok, method="embed_target_token")
+                y_t = y_t + jax.lax.dynamic_slice_in_dim(yemb, i, 1, axis=1)
+                y, caches = model.apply(variables, y_t, caches, ckvs, emask, i,
+                                        method="decode_one_token")
+                logits = model.apply(variables, target, y, method="mod_logits")[:, 0]
+                return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], caches
+            return jax.lax.fori_loop(0, nsteps, body, (tok, caches))
+
+        def measure(ckvs):
+            caches = jax.jit(lambda: model.apply(params, B, L,
+                                                 method="init_kv_caches"))()
+            t, c = loop(params, tok0, caches, ckvs, enc_mask, y_emb)
+            float(jnp.sum(t))  # fence (tunnel-safe)
+            caches = jax.jit(lambda: model.apply(params, B, L,
+                                                 method="init_kv_caches"))()
+            t0 = time.perf_counter()
+            t, c = loop(params, tok0, caches, ckvs, enc_mask, y_emb)
+            float(jnp.sum(t))
+            return (time.perf_counter() - t0) / nsteps * 1e3
+
+        ms_bf16 = measure(cross_kvs)
+
+        def _q(kv):
+            k_i8, ks, v_i8, vs = quantize_kv_decode(*kv)
+            return ((k_i8, ks), (v_i8, vs))
+
+        ms_int8 = measure([_q(kv) for kv in cross_kvs])
+    print(f"# ar decode: {ms_bf16:.3f} ms/token bf16, {ms_int8:.3f} int8-KV "
+          f"(B={B}, M={M}, 12 layers)")
+    return ms_bf16, ms_int8
+
+
 def main():
     import jax
 
@@ -283,6 +364,12 @@ def main():
         extras["train_hw_util_xla_counted"] = round(hw_util, 3)
     except Exception as e:  # pragma: no cover
         print(f"# train bench failed: {e}")
+    try:
+        ms_bf16, ms_int8 = bench_decode_microbench(jax, jnp)
+        extras["ar_decode_ms_per_token"] = round(ms_bf16, 3)
+        extras["ar_decode_ms_per_token_int8kv"] = round(ms_int8, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"# decode microbench failed: {e}")
 
     # XL is part of the named BASELINE metric ("4M-21 B/XL") — in the default
     # run since round 3; the persistent compile cache absorbs the cost after
