@@ -67,6 +67,10 @@ def main():
                                                pallas_self_decode)
 
     interp = args.interpret
+    # fp32 under --interpret (bf16 emulation on CPU is ~10x slower); the
+    # doubled itemsize makes the VMEM pickers skip a few configs that run
+    # fine at bf16 on the real chip — the real-chip run is the authoritative
+    # table, the interpret pass is a smoke check
     dt = jnp.bfloat16 if not interp else jnp.float32
     rng = np.random.RandomState(0)
     r = lambda *s: jnp.asarray(rng.randn(*s), dt) * 0.1
