@@ -620,12 +620,17 @@ def pallas_flash_mha(
     bq, bk = _pick(N), _pick(M)
     if not bq or not bk:
         return None
-    # working set: q block + 2-buffered k/v blocks + fp32 acc + one (bq, bk)
-    # fp32 logits tile + out block + m/l scratch
+    # working set: q block + 2-buffered k/v blocks + fp32 acc + TWO (bq, bk)
+    # fp32 tiles (the s logits and the p=exp(s-m) buffer both live on the
+    # Mosaic stack) + out block + m/l scratch. The 12 MB accept bound leaves
+    # ~3 MB of headroom under the 16 MB scoped-vmem limit for Mosaic's own
+    # stack overhead — measured: the old one-tile/13 MB model predicted
+    # 12.6 MB for (bq=bk=768, C=768, bf16) where the compiler allocated
+    # 16.04 MB and OOM'd by 44 KB (AOT "vmem stack" error, 2026-08-18).
     while bq >= 128:
         vmem = (bq * C * itemsize + 2 * 2 * bk * C * itemsize
-                + bq * C * 4 + bq * bk * 4 + bq * C * itemsize + 2 * bq * 512)
-        if vmem <= 13 * 2**20:
+                + bq * C * 4 + 2 * bq * bk * 4 + bq * C * itemsize + 2 * bq * 512)
+        if vmem <= 12 * 2**20:
             break
         if bk >= bq and bk > 128:
             nb = _pick(bk // 2) if bk // 2 >= 128 else 0

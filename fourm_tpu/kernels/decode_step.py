@@ -186,14 +186,21 @@ def pallas_self_decode(
     scale = Dh**-0.5
     itemsize = jnp.dtype(x.dtype).itemsize
 
+    # VMEM sizing must use the TILE-PADDED cache length: a block's last dim
+    # lives in (8/16, 128) tiles, so L pads up to the next 128-multiple in
+    # VMEM. Measured: at L=23 the unpadded model picked h_blk=12 (11.3 MB
+    # modeled) and the compiler allocated 20.65 MB -> scoped-vmem OOM
+    # (AOT "vmem stack" error, 2026-08-18).
+    L_pad = -(-L // 128) * 128
     h_blk = 0
     for cand in _divisors_desc(H):
         # Mosaic: block last dims must be 128-divisible or the full dim
         if cand != H and (cand * Dh) % 128 != 0:
             continue
-        stream = (2 * 2 * 2 * B * cand * Dh * L  # k+v cache in+out, 2-buffered
+        stream = (2 * 2 * 2 * B * cand * Dh * L_pad  # k+v cache in+out, 2-buf
                   + 2 * C * cand * 3 * Dh) * itemsize  # QKV column block
-        resident = 8 * B * C * itemsize
+        # per-head fp32 k/v copies inside the kernel + activation blocks
+        resident = 8 * B * C * itemsize + 2 * B * Dh * L_pad * 4
         if stream + resident <= _VMEM_BUDGET:
             h_blk = cand
             break
@@ -402,8 +409,10 @@ def pallas_cross_decode_attn(
                    384, 256, 128):
             if bm > M or M % bm or (bm != M and bm % 128):
                 continue
-            stream = 2 * 2 * B * h_blk * Dh * bm * kv_itemsize
-            resident = (C * h_blk * Dh + 6 * B * C) * itemsize + 2 * B * C * 4
+            bm_pad = -(-bm // 128) * 128  # VMEM tile padding (bm == M case)
+            stream = 2 * 2 * B * h_blk * Dh * bm_pad * kv_itemsize
+            resident = ((C * h_blk * Dh + 6 * B * C) * itemsize
+                        + 2 * B * C * 4 + 2 * B * Dh * bm_pad * 4)
             if stream + resident <= _VMEM_BUDGET:
                 cells = (H // h_blk) * (M // bm)
                 if best is None or cells < best[0]:
