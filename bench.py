@@ -280,12 +280,17 @@ def bench_decode_microbench(jax, jnp):
     target = "caption"
     nsteps = 64
 
+    from fourm_tpu.ops.transformer import use_fused_decode
+
     with use_pallas_attention():
         prefill = jax.jit(lambda p, md: model.apply(
             p, md, target, L, M, method="ar_prefill"))
         cross_kvs, enc_mask, y_emb = prefill(params, batch)
-        tok0 = jnp.asarray(np.full((B, 1), 7, np.int32))
+    tok0 = jnp.asarray(np.full((B, 1), 7, np.int32))
 
+    def make_loop():
+        # fresh jit per mode: the fused-decode switch is trace-time global,
+        # so a cached trace must never be reused across modes
         @jax.jit
         def loop(variables, tok, caches, ckvs, emask, yemb):
             def body(i, carry):
@@ -297,8 +302,11 @@ def bench_decode_microbench(jax, jnp):
                 logits = model.apply(variables, target, y, method="mod_logits")[:, 0]
                 return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], caches
             return jax.lax.fori_loop(0, nsteps, body, (tok, caches))
+        return loop
 
-        def measure(ckvs):
+    def measure(ckvs, fused):
+        with use_pallas_attention(), use_fused_decode(fused):
+            loop = make_loop()
             caches = jax.jit(lambda: model.apply(params, B, L,
                                                  method="init_kv_caches"))()
             t, c = loop(params, tok0, caches, ckvs, enc_mask, y_emb)
@@ -310,16 +318,17 @@ def bench_decode_microbench(jax, jnp):
             float(jnp.sum(t))
             return (time.perf_counter() - t0) / nsteps * 1e3
 
-        ms_bf16 = measure(cross_kvs)
+    ms_bf16 = measure(cross_kvs, fused=False)  # production default (XLA)
+    ms_fused = measure(cross_kvs, fused=True)  # opt-in fused kernels
 
-        def _q(kv):
-            k_i8, ks, v_i8, vs = quantize_kv_decode(*kv)
-            return ((k_i8, ks), (v_i8, vs))
+    def _q(kv):
+        k_i8, ks, v_i8, vs = quantize_kv_decode(*kv)
+        return ((k_i8, ks), (v_i8, vs))
 
-        ms_int8 = measure([_q(kv) for kv in cross_kvs])
-    print(f"# ar decode: {ms_bf16:.3f} ms/token bf16, {ms_int8:.3f} int8-KV "
-          f"(B={B}, M={M}, 12 layers)")
-    return ms_bf16, ms_int8
+    ms_int8 = measure([_q(kv) for kv in cross_kvs], fused=True)
+    print(f"# ar decode: {ms_bf16:.3f} ms/token default(xla), {ms_fused:.3f} "
+          f"fused, {ms_int8:.3f} fused-int8-KV (B={B}, M={M}, 12 layers)")
+    return ms_bf16, ms_fused, ms_int8
 
 
 def main():
@@ -365,8 +374,9 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# train bench failed: {e}")
     try:
-        ms_bf16, ms_int8 = bench_decode_microbench(jax, jnp)
+        ms_bf16, ms_fused, ms_int8 = bench_decode_microbench(jax, jnp)
         extras["ar_decode_ms_per_token"] = round(ms_bf16, 3)
+        extras["ar_decode_ms_per_token_fused"] = round(ms_fused, 3)
         extras["ar_decode_ms_per_token_int8kv"] = round(ms_int8, 3)
     except Exception as e:  # pragma: no cover
         print(f"# decode microbench failed: {e}")

@@ -99,6 +99,35 @@ def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.nd
 # GenerationSampler and the VQ tokenize path enable pallas via use_pallas_attention().
 _ATTN_IMPL = "xla"
 
+# Fused Pallas decode-step switch (DecoderBlock._fused_step). Default OFF:
+# on the 2026-08-18 toolchain the XLA decode path measures FASTER than the
+# fused kernels at 4M-B chain shapes (2.94 vs 3.48 ms/token marginal, B=16,
+# M=2304 — the pre-outage toolchain measured the opposite, 185 vs 284
+# us/layer-step). The kernels stay parity-tested; re-measure per toolchain
+# via bench.py's ar_decode_ms_per_token_fused and flip with
+# FOURM_FUSED_DECODE=1 or use_fused_decode(). int8 cross-KV always routes
+# through the fused kernel (the XLA fallback dequantizes — oracle only).
+import os as _os
+
+_FUSED_DECODE = _os.environ.get("FOURM_FUSED_DECODE", "0") == "1"
+
+
+class use_fused_decode:
+    """Context manager: enable the fused Pallas decode-step kernels
+    (trace-time switch; retrace/jit freshly inside the context)."""
+
+    def __init__(self, enable: bool = True):
+        self.val = enable
+
+    def __enter__(self):
+        global _FUSED_DECODE
+        self.prev = _FUSED_DECODE
+        _FUSED_DECODE = self.val
+
+    def __exit__(self, *exc):
+        global _FUSED_DECODE
+        _FUSED_DECODE = self.prev
+
 
 def set_attention_impl(impl: str):
     global _ATTN_IMPL
@@ -822,7 +851,12 @@ class DecoderBlock(nn.Module):
         in-place cache updates instead of ~16 XLA ops (see
         kernels/decode_step.py — measured 3.68 ms/token against a 2.12 ms HBM
         floor at 4M-B chain shapes). Returns None (caller falls back) off-TPU,
-        under TP sharding, or when a kernel working set exceeds VMEM."""
+        under TP sharding, when a kernel working set exceeds VMEM, or when
+        the fused-decode switch is off (the default — see _FUSED_DECODE;
+        int8 cross-KV tuples always take the kernel, it is their only
+        production path)."""
+        if not (_FUSED_DECODE or isinstance(cross_k, tuple)):
+            return None
         if not _fused_eligible(None, False, 64, min_rows=0):
             return None
         from ..kernels.decode_step import (pallas_cross_decode_attn,

@@ -695,8 +695,9 @@ class TestDecodeStepKernels:
             pallas_cross_decode_attn_orig, interpret=True))
         monkeypatch.setattr(ds, "pallas_residual_mlp", functools.partial(
             pallas_residual_mlp_orig, interpret=True))
-        from fourm_tpu.ops.transformer import use_pallas_attention
-        with use_pallas_attention():
+        from fourm_tpu.ops.transformer import (use_fused_decode,
+                                               use_pallas_attention)
+        with use_pallas_attention(), use_fused_decode():
             got = blk.apply(params, x_t, cache_k, cache_v, cross_k, cross_v,
                             xa_mask, step_idx, method="step")
         for g, w in zip(got, want):
