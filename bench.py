@@ -18,14 +18,24 @@ Extra fields in the same JSON object:
   * xl_chain_samples_per_sec + xl_vs_baseline: the 4M-XL 3-target chain and
     its ratio vs the analytical reference-on-A100 estimate of the same chain
     (scripts/estimate_reference_a100.py) — the BASELINE.md north-star number.
-  * sr448_samples_per_sec: the 448px super-resolution chain (784-token
-    modalities), in the default run since round 4.
+  * xl_full_chain_samples_per_sec + xl_full_vs_baseline: the 4M-XL FULL
+    14-target chain (the literal north-star workload) and its matching
+    estimate ratio, in the default run since round 5.
+  * sr448_samples_per_sec + sr448_vs_baseline: the 448px super-resolution
+    chain (784-token modalities) and its estimate ratio.
+  * toolchain: jax/jaxlib/libtpu versions + date + device kind — bench
+    numbers are only comparable across rounds WITH this field (a round-4
+    toolchain change silently inverted the fused-vs-XLA decode result).
+  * ar_decode_ms_per_token_{xla,fused,int8kv}: both decode paths measured
+    every run; the headline chain AUTO-SELECTS the faster of xla/fused
+    (headline_decode_path records which; ar_decode_ms_per_token = winner).
   * vs_baseline (top level): headline chain vs the analytical A100 eager
     estimate of the reference pipeline (the reference publishes no throughput
     numbers, SURVEY.md §6 — BASELINE.md documents the derivation);
     vs_baseline_peak_bound divides by the unattainable 100%-MFU bound.
-BENCH_SKIP_XL=1 / BENCH_SKIP_SR=1 opt out of the XL / SR chains for quick
-iterations (first cold-cache compile of each costs several minutes).
+BENCH_SKIP_XL=1 / BENCH_SKIP_XL_FULL=1 / BENCH_SKIP_SR=1 opt out of the XL /
+XL-full / SR chains for quick iterations (first cold-cache compile of each
+costs several minutes).
 
 Prints ONE JSON line.
 """
@@ -54,8 +64,32 @@ def build_text_tokenizer():
     )
 
 
+def toolchain_info(jax):
+    """Identify the toolchain a bench artifact was measured on: round 4's
+    mid-round toolchain change silently inverted the fused-vs-XLA decode
+    result; numbers are only comparable across rounds WITH this field."""
+    import datetime
+
+    info = {"jax": jax.__version__, "date": datetime.date.today().isoformat()}
+    try:
+        import jaxlib
+
+        info["jaxlib"] = jaxlib.__version__
+    except Exception:
+        pass
+    try:
+        from importlib.metadata import version
+
+        info["libtpu"] = version("libtpu")
+    except Exception:
+        pass
+    info["backend"] = jax.default_backend()
+    info["device"] = jax.devices()[0].device_kind
+    return info
+
+
 def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label: str,
-                     conds=("rgb@224",)):
+                     conds=("rgb@224",), fused_decode: bool = False):
     from fourm_tpu.api import FourMSampler
     from fourm_tpu.models import FourM, create_fourm_config
     from fourm_tpu.ops.transformer import use_pallas_attention
@@ -113,8 +147,10 @@ def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label:
     # costs a round trip (~0.4 s/batch of pure transfer latency otherwise)
     mod_dict = jax.tree.map(jnp.asarray, mod_dict)
 
+    from fourm_tpu.ops.transformer import use_fused_decode
+
     def run(seed):
-        with use_pallas_attention():
+        with use_pallas_attention(), use_fused_decode(fused_decode):
             out = sampler.generate(dict(mod_dict), schedule, seed=seed)
         for t in targets:  # fence with host fetches (axon tunnel quirk)
             _ = np.asarray(out[t]["tensor"][0, :1])
@@ -345,7 +381,28 @@ def main():
     from fourm_tpu.api import DEFAULT_ORDER, DEFAULT_ORDER_SR
 
     tok = build_text_tokenizer()
-    extras = {}
+    extras = {"toolchain": toolchain_info(jax)}
+
+    # Decode-path selection FIRST: measure both AR decode implementations and
+    # give the headline chain the faster one. A toolchain update must never
+    # again silently strand the default on the slow path (round 4: the
+    # mid-round toolchain change inverted fused-vs-XLA and the headline kept
+    # running the loser). Keys: ar_decode_ms_per_token_{xla,fused,int8kv} are
+    # the per-path measurements; ar_decode_ms_per_token = the selected
+    # winner, i.e. what the headline chain actually runs (since round 5 —
+    # in round 4 this key meant the XLA path, in rounds <=3 the fused path).
+    fused_decode = False
+    try:
+        ms_xla, ms_fused, ms_int8 = bench_decode_microbench(jax, jnp)
+        extras["ar_decode_ms_per_token_xla"] = round(ms_xla, 3)
+        extras["ar_decode_ms_per_token_fused"] = round(ms_fused, 3)
+        extras["ar_decode_ms_per_token_int8kv"] = round(ms_int8, 3)
+        fused_decode = ms_fused < ms_xla
+        extras["ar_decode_ms_per_token"] = round(min(ms_xla, ms_fused), 3)
+        extras["headline_decode_path"] = "fused" if fused_decode else "xla"
+    except Exception as e:  # pragma: no cover
+        print(f"# decode microbench failed: {e}")
+        extras["headline_decode_path"] = "xla"
 
     # headline: FULL RGB-to-all chain at 4M-21 B — all 14 non-RGB targets of
     # the Demo4MSampler default order (tok_rgb is the conditioning here).
@@ -355,7 +412,8 @@ def main():
     targets = [t for t in DEFAULT_ORDER if t != "tok_rgb@224"]
     sps = bench_generation(jax, jnp, tok, "fm_base_12e_12d_swiglu_qknorm_nobias",
                            batch=batch, targets=targets,
-                           label=f"4M-21 B full 14-target chain (B={batch})")
+                           label=f"4M-21 B full 14-target chain (B={batch})",
+                           fused_decode=fused_decode)
 
     try:
         ips, roofline, roofline_hbm = bench_vq_tokenize(jax, jnp)
@@ -373,13 +431,6 @@ def main():
         extras["train_hw_util_xla_counted"] = round(hw_util, 3)
     except Exception as e:  # pragma: no cover
         print(f"# train bench failed: {e}")
-    try:
-        ms_bf16, ms_fused, ms_int8 = bench_decode_microbench(jax, jnp)
-        extras["ar_decode_ms_per_token"] = round(ms_bf16, 3)
-        extras["ar_decode_ms_per_token_fused"] = round(ms_fused, 3)
-        extras["ar_decode_ms_per_token_int8kv"] = round(ms_int8, 3)
-    except Exception as e:  # pragma: no cover
-        print(f"# decode microbench failed: {e}")
 
     # XL is part of the named BASELINE metric ("4M-21 B/XL") — in the default
     # run since round 3; the persistent compile cache absorbs the cost after
@@ -388,7 +439,8 @@ def main():
         try:
             xl = bench_generation(jax, jnp, tok, "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
                                   batch=4, targets=["tok_clip@224", "tok_semseg@224", "caption"],
-                                  label="4M-21 XL 3-target chain")
+                                  label="4M-21 XL 3-target chain",
+                                  fused_decode=fused_decode)
             extras["xl_chain_samples_per_sec"] = round(xl, 3)
             # the BASELINE north star is the XL ratio: measured v5e XL chain vs
             # the analytical reference-on-A100 estimate of the SAME chain
@@ -406,6 +458,32 @@ def main():
                 print(f"# XL vs_baseline estimate failed: {e}")
         except Exception as e:
             print(f"# XL bench failed: {e}")
+    # the LITERAL north-star workload: 4M-XL over the FULL 14-target chain
+    # (BASELINE names "RGB-to-all (4M-21 B/XL)"; rounds <=4 only measured a
+    # 3-target XL subset). BENCH_SKIP_XL_FULL=1 opts out.
+    if not (os.environ.get("BENCH_SKIP_XL") or os.environ.get("BENCH_SKIP_XL_FULL")):
+        try:
+            xlf = bench_generation(jax, jnp, tok,
+                                   "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
+                                   batch=4, targets=targets,
+                                   label="4M-21 XL FULL 14-target chain",
+                                   fused_decode=fused_decode)
+            extras["xl_full_chain_samples_per_sec"] = round(xlf, 3)
+            try:
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts"))
+                from estimate_reference_a100 import (
+                    reference_a100_xl_full_samples_per_sec,
+                )
+
+                xfr = reference_a100_xl_full_samples_per_sec()
+                extras["xl_full_ref_a100_samples_per_sec_est"] = round(xfr["eager"], 3)
+                extras["xl_full_vs_baseline"] = round(xlf / xfr["eager"], 3)
+                extras["xl_full_vs_baseline_peak_bound"] = round(xlf / xfr["peak"], 3)
+            except Exception as e:  # pragma: no cover
+                print(f"# XL-full vs_baseline estimate failed: {e}")
+        except Exception as e:
+            print(f"# XL full-chain bench failed: {e}")
     # SR 448 (784-token modalities) is the one sequence-length regime the
     # headline chain never touches — in the default driver run since round 4
     # (persistent compile cache absorbs the cost). BENCH_SKIP_SR=1 opts out.
@@ -414,8 +492,22 @@ def main():
             sr = bench_generation(jax, jnp, tok, "fm_large_24e_24d_swiglu_nobias",
                                   batch=4, targets=list(DEFAULT_ORDER_SR),
                                   label="SR 448 chain (L)",
-                                  conds=("rgb@224", "tok_rgb@224"))
+                                  conds=("rgb@224", "tok_rgb@224"),
+                                  fused_decode=fused_decode)
             extras["sr448_samples_per_sec"] = round(sr, 3)
+            try:
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts"))
+                from estimate_reference_a100 import (
+                    reference_a100_sr_samples_per_sec,
+                )
+
+                sref = reference_a100_sr_samples_per_sec()
+                extras["sr448_ref_a100_samples_per_sec_est"] = round(sref["eager"], 3)
+                extras["sr448_vs_baseline"] = round(sr / sref["eager"], 3)
+                extras["sr448_vs_baseline_peak_bound"] = round(sr / sref["peak"], 3)
+            except Exception as e:  # pragma: no cover
+                print(f"# SR vs_baseline estimate failed: {e}")
         except Exception as e:
             print(f"# SR bench failed: {e}")
 

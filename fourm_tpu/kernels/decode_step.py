@@ -5,20 +5,21 @@ models/fourm.py:456-464) runs 12 DecoderBlock.step calls per token. Each step
 is ~16 tiny XLA ops on (B, 1, C) activations; at 4M-B chain shapes (B=16,
 C=768, L=256, M=2304) the measured in-jit cost was 3.68 ms/token against a
 2.12 ms HBM floor — >40% pure small-op dispatch. These kernels collapse each
-layer step to 5 ops:
+layer step to 3 Pallas kernels + one XLA self-attention out-proj:
 
   1. `pallas_self_decode`   — LN1 + QKV + per-head QK-norm + full-softmax
-     attention over the KV cache + out-proj + residual, ONE kernel with a
-     head-blocked grid (the cache block carries full L, so each head finishes
-     in one cell — no online softmax). Also emits the new K/V columns.
-  2. two XLA dynamic-update-slices splice the new K/V into the cache in place
-     (routing the cache through the kernel would double its HBM traffic).
-  3. `pallas_cross_decode_attn` — query-norm + per-head-group Q-proj +
+     attention over the KV cache, ONE kernel with a head-blocked grid (the
+     cache block carries full L, so each head finishes in one cell — no
+     online softmax). Returns raw per-head attention (B, C); the out-proj +
+     residual stay in XLA (DecoderBlock._fused_step). The new K/V columns
+     are written into the caches IN-KERNEL at `step_idx` via aliased
+     input/output blocks — no external dynamic-update-slice, no cache copy.
+  2. `pallas_cross_decode_attn` — query-norm + per-head-group Q-proj +
      per-head Q-norm + flash attention streaming the (B, H, Dh, M) cross-KV
      (the dominant per-token HBM read: 113 MB/layer at M=2304). The Q-proj
      weight streams as per-head-group column blocks so nothing large stays
      resident next to the KV stream. Emits raw per-head attention (B, C).
-  4. `pallas_residual_mlp`  — attn out-proj + residual + LN2 + MLP + residual,
+  3. `pallas_residual_mlp`  — attn out-proj + residual + LN2 + MLP + residual,
      ONE kernel (MLP weights VMEM-resident).
 
 Attention math matches ops.transformer.decode_attention: fp32 logits
@@ -48,6 +49,18 @@ from .fused_mlp import _gelu_exact
 
 _NEG_BIG = float(jnp.finfo(jnp.float32).min)
 _VMEM_BUDGET = 12 * 2**20
+
+import os as _os
+
+
+def _debug_blocks(kernel: str, **kw):
+    """FOURM_KERNEL_DEBUG=1: print each kernel's chosen block sizes at trace
+    time, so a future scoped-vmem OOM can be tied back to the hand-fit VMEM
+    models above each selection loop (they are calibrated to measured
+    failures, not derived from the kernel body)."""
+    if _os.environ.get("FOURM_KERNEL_DEBUG") == "1":
+        print(f"# [decode_step] {kernel}: "
+              + " ".join(f"{k}={v}" for k, v in kw.items()))
 
 
 def _ln32(x32, gamma, beta, eps):
@@ -207,6 +220,7 @@ def pallas_self_decode(
     if h_blk == 0:
         return None
     n_hblocks = H // h_blk
+    _debug_blocks("self_decode", B=B, C=C, H=H, L=L, h_blk=h_blk)
 
     # head-major QKV layout: columns for head g become [q_g | k_g | v_g]
     wr = w_qkv.reshape(C, 3, H, Dh).transpose(0, 2, 1, 3).reshape(C, H * 3 * Dh)
@@ -422,6 +436,8 @@ def pallas_cross_decode_attn(
         return None
     _, h_blk, bm = best
     n_h, n_m = H // h_blk, M // bm
+    _debug_blocks("cross_decode_attn", B=B, C=C, H=H, M=M, h_blk=h_blk, bm=bm,
+                  quant=quant)
 
     cast = lambda a: a.astype(jnp.float32)
 

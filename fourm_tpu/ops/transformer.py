@@ -97,75 +97,90 @@ def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.nd
 # vjp), or "pallas_train" (custom-vjp fused pair, kernels/attention_bwd.py —
 # differentiable; used by build_train_step on single-chip TPU).
 # GenerationSampler and the VQ tokenize path enable pallas via use_pallas_attention().
-_ATTN_IMPL = "xla"
+#
+# Both switches are TRACE-TIME ContextVars (re-entrant and thread/async-safe):
+# they are read while jit traces a function, and they are NOT part of jax's
+# jit cache key. A function jitted under one setting silently reuses that
+# trace on later calls — always jit a FRESH closure inside the context
+# (bench.py make_loop is the pattern).
+_ATTN_IMPL = _contextvars.ContextVar("fourm_attn_impl", default="xla")
 
 # Fused Pallas decode-step switch (DecoderBlock._fused_step). Default OFF:
-# on the 2026-08-18 toolchain the XLA decode path measures FASTER than the
-# fused kernels at 4M-B chain shapes (2.94 vs 3.48 ms/token marginal, B=16,
-# M=2304 — the pre-outage toolchain measured the opposite, 185 vs 284
-# us/layer-step). The kernels stay parity-tested; re-measure per toolchain
-# via bench.py's ar_decode_ms_per_token_fused and flip with
-# FOURM_FUSED_DECODE=1 or use_fused_decode(). int8 cross-KV always routes
-# through the fused kernel (the XLA fallback dequantizes — oracle only).
+# on the 2026-08-18 toolchain (jax 0.9.0 / libtpu 0.0.34) the XLA decode path
+# measures FASTER than the fused kernels at 4M-B chain shapes (bench.py
+# ar_decode_ms_per_token 3.56 xla vs 3.91 fused — the pre-outage round-4
+# toolchain measured the opposite, 185 vs 284 us/layer-step). The kernels
+# stay parity-tested; re-measure per toolchain via bench.py and flip with
+# FOURM_FUSED_DECODE=1 (read lazily, so post-import exports take effect) or
+# use_fused_decode(). int8 cross-KV always routes through the fused kernel
+# (the XLA fallback dequantizes — oracle only).
 import os as _os
 
-_FUSED_DECODE = _os.environ.get("FOURM_FUSED_DECODE", "0") == "1"
+_FUSED_DECODE = _contextvars.ContextVar("fourm_fused_decode", default=None)
+
+
+def _fused_decode_enabled() -> bool:
+    val = _FUSED_DECODE.get()
+    if val is None:  # unset: fall back to the env var, read lazily
+        return _os.environ.get("FOURM_FUSED_DECODE", "0") == "1"
+    return val
 
 
 class use_fused_decode:
-    """Context manager: enable the fused Pallas decode-step kernels
-    (trace-time switch; retrace/jit freshly inside the context)."""
+    """Context manager: enable the fused Pallas decode-step kernels.
+
+    TRACE-TIME switch, not a jit-cache key: any function jitted outside (or
+    under a different setting) keeps its old trace — jit a fresh closure
+    inside the context. Re-entrant and thread-safe (ContextVar-backed)."""
 
     def __init__(self, enable: bool = True):
         self.val = enable
+        self._tokens = []  # stack: one instance may be nested re-entrantly
 
     def __enter__(self):
-        global _FUSED_DECODE
-        self.prev = _FUSED_DECODE
-        _FUSED_DECODE = self.val
+        self._tokens.append(_FUSED_DECODE.set(self.val))
 
     def __exit__(self, *exc):
-        global _FUSED_DECODE
-        _FUSED_DECODE = self.prev
+        _FUSED_DECODE.reset(self._tokens.pop())
 
 
 def set_attention_impl(impl: str):
-    global _ATTN_IMPL
     assert impl in ("xla", "pallas", "pallas_train")
-    _ATTN_IMPL = impl
+    _ATTN_IMPL.set(impl)
 
 
-class use_pallas_attention:
+class _attn_impl_ctx:
+    """Shared ContextVar-backed context manager for the attention switch
+    (re-entrant, thread-safe; same trace-time caveat as use_fused_decode)."""
+
+    impl = "xla"
+
+    def __init__(self, enable: bool = True):
+        self._impl = self.impl if enable else "xla"
+        self._tokens = []  # stack: one instance may be nested re-entrantly
+
+    def __enter__(self):
+        self._tokens.append(_ATTN_IMPL.set(self._impl))
+
+    def __exit__(self, *exc):
+        _ATTN_IMPL.reset(self._tokens.pop())
+
+
+class use_pallas_attention(_attn_impl_ctx):
     """Context manager: route dot_product_attention through the Pallas kernel
     (trace-time switch; use around inference jit boundaries only)."""
 
-    def __init__(self, enable: bool = True):
-        self.impl = "pallas" if enable else "xla"
-
-    def __enter__(self):
-        self.prev = _ATTN_IMPL
-        set_attention_impl(self.impl)
-
-    def __exit__(self, *exc):
-        set_attention_impl(self.prev)
+    impl = "pallas"
 
 
-class use_fused_train_attention:
+class use_fused_train_attention(_attn_impl_ctx):
     """Context manager: route dot_product_attention through the DIFFERENTIABLE
     fused Pallas pair (kernels/attention_bwd.py) — trace-time switch for the
     training step. Falls back to XLA per-call when shapes don't fit the
     one-shot VMEM budget, on non-TPU backends, or under TP activation
     sharding."""
 
-    def __init__(self, enable: bool = True):
-        self.impl = "pallas_train" if enable else "xla"
-
-    def __enter__(self):
-        self.prev = _ATTN_IMPL
-        set_attention_impl(self.impl)
-
-    def __exit__(self, *exc):
-        set_attention_impl(self.prev)
+    impl = "pallas_train"
 
 
 def dot_product_attention(
@@ -182,11 +197,12 @@ def dot_product_attention(
     per-call Pallas launch overhead (~24 kernels/decode-step across the
     decoder) measured +1.2 ms/token on v5e vs fused XLA ops.
     """
-    if _ATTN_IMPL == "pallas" and jax.default_backend() == "tpu" and q.shape[2] > 2:
+    if (_ATTN_IMPL.get() == "pallas" and jax.default_backend() == "tpu"
+            and q.shape[2] > 2):
         from ..kernels.attention import pallas_attention
 
         return pallas_attention(q, k, v, bias, allow_zero_attn=allow_zero_attn)
-    if (_ATTN_IMPL == "pallas_train" and jax.default_backend() == "tpu"
+    if (_ATTN_IMPL.get() == "pallas_train" and jax.default_backend() == "tpu"
             and _ACTIVATION_SHARDER.get() is None):
         from ..kernels.attention_bwd import (
             attention_train,
@@ -484,7 +500,7 @@ class Attention(nn.Module):
         # compiler headroom or Mosaic rejects the kernel at large C (e.g.
         # C=2048, N~1024)
         mha_vmem = 8 * N * C * itemsize + N * N * 4
-        if (_ATTN_IMPL == "pallas" and jax.default_backend() == "tpu"
+        if (_ATTN_IMPL.get() == "pallas" and jax.default_backend() == "tpu"
                 and not self.qk_norm and N <= 1024 and B * N >= 64
                 and mha_vmem <= 11 * 2**20
                 and _ACTIVATION_SHARDER.get() is None
@@ -665,7 +681,7 @@ def _fused_eligible(mlp, gated: bool, n_rows: int, dim: int = 0,
     min_rows: the default 64 gates STANDALONE kernels (a lone tiny-row launch
     loses to XLA); the fused decode-step path passes 8 — there the kernel
     replaces a whole chain of small ops, so the launch amortizes at B=16."""
-    if _ATTN_IMPL != "pallas" or jax.default_backend() != "tpu":
+    if _ATTN_IMPL.get() != "pallas" or jax.default_backend() != "tpu":
         return False
     if _ACTIVATION_SHARDER.get() is not None:
         return False
@@ -855,7 +871,7 @@ class DecoderBlock(nn.Module):
         the fused-decode switch is off (the default — see _FUSED_DECODE;
         int8 cross-KV tuples always take the kernel, it is their only
         production path)."""
-        if not (_FUSED_DECODE or isinstance(cross_k, tuple)):
+        if not (_fused_decode_enabled() or isinstance(cross_k, tuple)):
             return None
         if not _fused_eligible(None, False, 64, min_rows=0):
             return None

@@ -78,6 +78,7 @@ class Geometry:
 
 
 GEOM_B = Geometry(dim=768, enc_depth=12, dec_depth=12)    # 4M-B (198M)
+GEOM_L = Geometry(dim=1024, enc_depth=24, dec_depth=24)   # 4M-L (705M)
 GEOM_XL = Geometry(dim=2048, enc_depth=24, dec_depth=24)  # 4M-XL (2.8B)
 
 # ---- chain structures (fourm/demo_4M_sampler.py:29-136) ----
@@ -104,7 +105,24 @@ CHAIN_XL = [
     ("tok_semseg@224", 196, "roar", 2.0, 4096),
     ("caption", 256, "ar", 1.0, 30522),
 ]
+# 448px super-resolution chain (reference demo_4M_sampler.py:29-39 SR
+# defaults, fourm/data/modality_info.py:311-383 784-token @448 modalities):
+# 4M-L SR model, MaskGIT x 8 steps, cfg 2.0 per target. Each MaskGIT step
+# runs encoder over all valid conditioning + decoder over the FULL 784-token
+# grid (the reference feeds the whole masked target and selects from
+# full-grid logits; ours decodes the full grid identically).
+CHAIN_SR = [
+    ("tok_clip@448", 784, "maskgit8", 2.0, 8192),
+    ("tok_depth@448", 784, "maskgit8", 2.0, 8192),
+    ("tok_normal@448", 784, "maskgit8", 2.0, 8192),
+    ("tok_semseg@448", 784, "maskgit8", 2.0, 4096),
+    ("tok_rgb@448", 784, "maskgit8", 2.0, 16384),
+]
 RGB_COND_TOKENS = 196  # tok_rgb@224 conditioning
+# SR conditioning: rgb@224 pixel patches (196) + tok_rgb@224 (196), matching
+# bench.py's conds=("rgb@224", "tok_rgb@224")
+SR_COND_TOKENS = 392
+MASKGIT_STEPS = 8
 
 
 @dataclass
@@ -121,15 +139,23 @@ class Estimate:
         return 1.0 / (t_compute + t_launch)
 
 
-def reference_chain_flops(geom: Geometry, chain) -> Estimate:
+def reference_chain_flops(geom: Geometry, chain,
+                          cond_tokens: int = RGB_COND_TOKENS) -> Estimate:
     """FLOPs per SAMPLE for the reference pipeline on the given chain."""
     flops = 0.0
     launches = 0
-    cond = RGB_COND_TOKENS  # valid conditioning tokens so far
+    cond = cond_tokens  # valid conditioning tokens so far
     ar_tokens = 0
     for _mod, L, scheme, cfg, vocab in chain:
         n_fwd = 2 if cfg != 1.0 else 1  # sequential CFG (generate.py:684)
-        if scheme == "roar":
+        if scheme == "maskgit8":
+            # MaskGIT x 8: every step re-encodes conditioning and decodes the
+            # full L-token grid (+ logits head over the grid)
+            flops += MASKGIT_STEPS * n_fwd * (
+                2 * geom.enc_params * cond + 2 * geom.dec_params * L
+                + 2 * L * geom.dim * vocab)
+            launches += MASKGIT_STEPS * n_fwd
+        elif scheme == "roar":
             # one step decodes the whole grid: encoder over cond + decoder
             # over L masked queries (+ logits head)
             flops += n_fwd * (2 * geom.enc_params * cond + 2 * geom.dec_params * L
@@ -169,6 +195,20 @@ def reference_a100_xl_samples_per_sec() -> dict:
     return _scenarios(reference_chain_flops(GEOM_XL, CHAIN_XL), batch=4)
 
 
+def reference_a100_xl_full_samples_per_sec() -> dict:
+    """The literal north-star workload: 4M-XL over the FULL 14-target chain,
+    B=4/GPU (matches bench.py's xl_full chain)."""
+    return _scenarios(reference_chain_flops(GEOM_XL, CHAIN_B), batch=4)
+
+
+def reference_a100_sr_samples_per_sec() -> dict:
+    """SR workload: 4M-L SR model, 5-target 448px MaskGIT-8 chain, B=4/GPU
+    (matches bench.py's SR chain; reference demo_4M_sampler.py:29-39)."""
+    return _scenarios(reference_chain_flops(GEOM_L, CHAIN_SR,
+                                            cond_tokens=SR_COND_TOKENS),
+                      batch=4)
+
+
 def _print_table(name, geom, chain, batch, r):
     print(f"{name} ({len(chain)}-target chain, B={batch}), per sample:")
     print(f"  model: enc {geom.enc_params/1e6:.1f}M dec {geom.dec_params/1e6:.1f}M matmul params")
@@ -186,3 +226,9 @@ if __name__ == "__main__":
     print()
     _print_table("Reference 4M-XL north star", GEOM_XL, CHAIN_XL, 4,
                  reference_a100_xl_samples_per_sec())
+    print()
+    _print_table("Reference 4M-XL FULL 14-target", GEOM_XL, CHAIN_B, 4,
+                 reference_a100_xl_full_samples_per_sec())
+    print()
+    _print_table("Reference 4M-L SR-448 MaskGIT-8", GEOM_L, CHAIN_SR, 4,
+                 reference_a100_sr_samples_per_sec())
