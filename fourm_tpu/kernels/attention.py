@@ -33,8 +33,11 @@ def _make_kernel(scale: float, allow_zero_attn: bool, has_bias: bool):
         else:
             q_ref, k_ref, v_ref, o_ref = refs
             b_ref = None
-        q = q_ref[0, 0].astype(jnp.float32)  # (N, Dh)
-        k = k_ref[0, 0].astype(jnp.float32)  # (M, Dh)
+        # native-dtype MXU dot with fp32 accumulation (bf16 products are exact
+        # in fp32) — a single MXU pass; fp32-cast operands would lower to the
+        # ~6x slower multi-pass fp32 matmul
+        q = q_ref[0, 0]  # (N, Dh)
+        k = k_ref[0, 0]  # (M, Dh)
         v = v_ref[0, 0]  # (M, Dh)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -81,9 +84,10 @@ def _flash_kernel(scale: float, allow_zero_attn: bool, bias_mode: str,
             l_scr[:] = jnp.zeros_like(l_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
-        q = q_ref[0, 0].astype(jnp.float32)  # (Bq, Dh)
-        k = k_ref[0, 0].astype(jnp.float32)  # (Bk, Dh)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # native-dtype MXU dots with fp32 accumulation (see _make_kernel)
+        q = q_ref[0, 0]  # (Bq, Dh)
+        k = k_ref[0, 0]  # (Bk, Dh)
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (Bq, Bk)
@@ -102,7 +106,8 @@ def _flash_kernel(scale: float, allow_zero_attn: bool, bias_mode: str,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
         )
         m_scr[:, 0:1] = m_new
         l_scr[:, 0:1] = l_new
@@ -230,8 +235,9 @@ def _mha_short_kernel(scale: float, allow_zero_attn: bool, has_bias: bool,
             b_ref = None
         for h in range(num_heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            q = q_ref[0, :, sl].astype(jnp.float32)  # (N, Dh)
-            k = k_ref[0, :, sl].astype(jnp.float32)
+            # native-dtype MXU dot, fp32 accumulate (see _make_kernel)
+            q = q_ref[0, :, sl]  # (N, Dh)
+            k = k_ref[0, :, sl]
             v = v_ref[0, :, sl]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -398,8 +404,9 @@ def _attn_block_kernel(scale: float, eps: float, allow_zero_attn: bool,
         outs = []
         for hh in range(num_heads):
             sl = slice(hh * head_dim, (hh + 1) * head_dim)
-            q = qkv[:, sl].astype(jnp.float32)
-            k = qkv[:, C + hh * head_dim : C + (hh + 1) * head_dim].astype(jnp.float32)
+            # native-dtype MXU dot, fp32 accumulate (see _make_kernel)
+            q = qkv[:, sl]
+            k = qkv[:, C + hh * head_dim : C + (hh + 1) * head_dim]
             v = qkv[:, 2 * C + hh * head_dim : 2 * C + (hh + 1) * head_dim]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -496,89 +503,81 @@ def pallas_attn_block(
 
 
 def _flash_mha_kernel(scale, eps, allow_zero_attn, qk_norm, qn_bias, kn_bias,
-                      bias_mode, num_heads, head_dim, n_kblocks, block_k,
-                      valid_m, compute_dtype):
-    """Heads-in-kernel blocked flash: one grid cell covers ALL heads of a
-    (q-block, k-block) tile, so at 4M prefill shapes (B=16, H=12, N=2304)
-    the grid is 144 cells/layer instead of 1728 — per-cell overhead was the
-    dominant encoder cost (measured ~2.7 us/cell against 0.77 us of MXU).
-    Per-head QK-norm runs in-kernel: the XLA path materialized the normed
-    (B, H, N, Dh) q/k through HBM (113 MB/layer round trip at these shapes).
-    """
+                      bias_mode, heads_per_group, head_dim, compute_dtype):
+    """One-shot head-group MHA: each grid cell holds the FULL key length for a
+    group of heads, so every head finishes its softmax in one pass — no
+    online-softmax running max/denominator/accumulator-rescale at all. At 4M
+    prefill shapes (B=16, H=12, N=M=2304) the rescale bookkeeping of the old
+    (q-block, k-block) flash form cost ~3 ms/layer on top of ~4 ms of MXU
+    work (measured sweep, round 5); this form runs the same shapes in
+    ~4.5 ms. K/V group blocks are revisited across consecutive q-block cells
+    (grid order (B, G, nq)), so Mosaic keeps them resident. Per-head QK-norm
+    runs in-kernel; the normed K block is computed once per (batch, group)
+    cell visit and cached in scratch across that group's q blocks."""
 
     def kernel(*refs):
         it = iter(refs)
-        q_ref = next(it)  # (1, bq, C)
-        k_ref = next(it)  # (1, bk, C)
+        q_ref = next(it)  # (1, bq, Cg)
+        k_ref = next(it)  # (1, Mp, Cg)
         v_ref = next(it)
         qn_g = next(it)[...] if qk_norm else None
         qn_b = next(it)[...] if qn_bias else None
         kn_g = next(it)[...] if qk_norm else None
         kn_b = next(it)[...] if kn_bias else None
-        b_ref = next(it) if bias_mode == "key" else None  # (1, 1, bk)
-        o_ref = next(it)  # (1, bq, C)
-        m_scr = next(it)  # (bq, 128) fp32 — col per head
-        l_scr = next(it)
-        acc_scr = next(it)  # (bq, C) fp32
+        b_ref = next(it) if bias_mode == "key" else None  # (1, 1, Mp)
+        o_ref = next(it)  # (1, bq, Cg)
+        kn_scr = next(it) if qk_norm else None  # (Mp, Cg) normed K cache
 
-        ki = pl.program_id(2)
+        def _ln(x32, g, b):
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+            y = (x32 - mean) * jax.lax.rsqrt(var + eps) * g
+            return y + b if b is not None else y
 
-        @pl.when(ki == 0)
-        def _():
-            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-            l_scr[:] = jnp.zeros_like(l_scr)
-            acc_scr[:] = jnp.zeros_like(acc_scr)
+        qi = pl.program_id(2)
+        if qk_norm:
+            # normed K is shared by every q block of this (batch, group) run
+            @pl.when(qi == 0)
+            def _():
+                for hh in range(heads_per_group):
+                    sl = slice(hh * head_dim, (hh + 1) * head_dim)
+                    kn_scr[:, sl] = _ln(
+                        k_ref[0, :, sl].astype(jnp.float32), kn_g, kn_b
+                    ).astype(compute_dtype)
 
-        kb = k_ref[0]  # (bk, C)
-        vb = v_ref[0]
-        qb = q_ref[0]  # (bq, C)
-        bias = b_ref[0, 0][None, :] if b_ref is not None else None  # (1, bk)
-        pad_mask = None
-        if valid_m % block_k:
-            kidx = jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1) + ki * block_k
-            pad_mask = kidx < valid_m  # (1, bk)
+        qb = q_ref[0]  # (bq, Cg)
+        vb = v_ref[0]  # (Mp, Cg)
+        bias = b_ref[0, 0][None, :] if b_ref is not None else None  # (1, Mp)
 
-        for hh in range(num_heads):
+        for hh in range(heads_per_group):
             sl = slice(hh * head_dim, (hh + 1) * head_dim)
-            q_h = qb[:, sl].astype(jnp.float32)
-            k_h = kb[:, sl].astype(jnp.float32)
+            q_h = qb[:, sl]
             if qk_norm:
-                def _ln(x32, g, b):
-                    mean = jnp.mean(x32, axis=-1, keepdims=True)
-                    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-                    y = (x32 - mean) * jax.lax.rsqrt(var + eps) * g
-                    return y + b if b is not None else y
                 # match Attention._split_qkv: LN in fp32, cast to compute
-                q_h = _ln(q_h, qn_g, qn_b).astype(compute_dtype).astype(jnp.float32)
-                k_h = _ln(k_h, kn_g, kn_b).astype(compute_dtype).astype(jnp.float32)
+                q_h = _ln(q_h.astype(jnp.float32), qn_g, qn_b).astype(compute_dtype)
+                k_h = kn_scr[:, sl]
+            else:
+                k_h = k_ref[0, :, sl]
+            # compute-dtype MXU dots with fp32 accumulation — operand values
+            # are bf16-representable either way (post-LN cast / native qkv
+            # dtype); a single MXU pass instead of the multi-pass fp32 form
             s = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (bq, bk)
+                preferred_element_type=jnp.float32) * scale  # (bq, Mp)
             if bias is not None:
                 s = s + bias
-            if pad_mask is not None:
-                s = jnp.where(pad_mask, s, jnp.finfo(jnp.float32).min)
-            m_prev = m_scr[:, hh : hh + 1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_scr[:, hh : hh + 1] = l_scr[:, hh : hh + 1] * alpha + jnp.sum(
-                p, axis=-1, keepdims=True)
-            acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
-                p.astype(compute_dtype).astype(jnp.float32),
-                vb[:, sl].astype(jnp.float32),
+            m = jnp.max(s, axis=-1, keepdims=True)
+            if allow_zero_attn:
+                m = jnp.maximum(m, 0.0)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            if allow_zero_attn:
+                denom = denom + jnp.exp(-m)
+            # p cast to compute dtype exactly as the XLA path casts probs
+            o = jax.lax.dot_general(
+                p.astype(compute_dtype), vb[:, sl],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            m_scr[:, hh : hh + 1] = m_new
-
-        @pl.when(ki == n_kblocks - 1)
-        def _():
-            for hh in range(num_heads):
-                sl = slice(hh * head_dim, (hh + 1) * head_dim)
-                denom = l_scr[:, hh : hh + 1]
-                if allow_zero_attn:
-                    denom = denom + jnp.exp(-m_scr[:, hh : hh + 1])
-                o_ref[0, :, sl] = (acc_scr[:, sl] / denom).astype(o_ref.dtype)
+            o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
 
     return kernel
 
@@ -599,11 +598,13 @@ def pallas_flash_mha(
     allow_zero_attn: bool = False,
     interpret: bool = False,
 ):
-    """Long-sequence multi-head flash attention with ALL heads per grid cell
-    and optional in-kernel per-head QK-norm. Input/output layout is
+    """Long-sequence multi-head attention, one-shot per head over the FULL
+    key length (no online softmax), grid over (batch, head-group, q-block)
+    with optional in-kernel per-head QK-norm. Input/output layout is
     (B, N, C) lane-concatenated heads — zero transposes against the fused
     LN+QKV producer and the out-projection consumer. Returns (B, N, C).
-    Returns None when no lane-aligned blocking fits VMEM."""
+    Returns None when no lane-aligned blocking fits VMEM (caller falls back
+    to the per-head paths)."""
     B, N, C = q.shape
     M = k.shape[1]
     Dh = C // num_heads
@@ -611,52 +612,61 @@ def pallas_flash_mha(
     itemsize = jnp.dtype(q.dtype).itemsize
     qk_norm = qn_gamma is not None
 
-    def _pick(n):
-        for c in (1024, 768, 512, 384, 256, 128):
+    if M % 128:
+        return None
+
+    # Group/blocking search: smallest G (fattest head groups, fewest K/V
+    # re-reads) whose working set fits. Per cell: resident K/V group blocks
+    # (2-buffered), q/out blocks, the (bq, M) fp32 s AND p stack tiles, the
+    # normed-K scratch. 13 MB accept bound (16 MB scoped-vmem limit minus
+    # Mosaic stack headroom) — the round-5 sweep measured (G=2, bq=256) at
+    # 13.0 MB modeled running fine while (G=2, bq=384) at 15.3 MB crashed
+    # the remote compiler.
+    def _pick_bq(n):
+        for c in (512, 384, 256, 128):
             if c <= n and n % c == 0:
                 return c
         return 0
 
-    bq, bk = _pick(N), _pick(M)
-    if not bq or not bk:
-        return None
-    # working set: q block + 2-buffered k/v blocks + fp32 acc + TWO (bq, bk)
-    # fp32 tiles (the s logits and the p=exp(s-m) buffer both live on the
-    # Mosaic stack) + out block + m/l scratch. The 12 MB accept bound leaves
-    # ~3 MB of headroom under the 16 MB scoped-vmem limit for Mosaic's own
-    # stack overhead — measured: the old one-tile/13 MB model predicted
-    # 12.6 MB for (bq=bk=768, C=768, bf16) where the compiler allocated
-    # 16.04 MB and OOM'd by 44 KB (AOT "vmem stack" error, 2026-08-18).
-    while bq >= 128:
-        vmem = (bq * C * itemsize + 2 * 2 * bk * C * itemsize
-                + bq * C * 4 + 2 * bq * bk * 4 + bq * C * itemsize + 2 * bq * 512)
-        if vmem <= 12 * 2**20:
+    choice = None
+    for G in range(1, num_heads + 1):
+        # G=1 blocks carry the FULL channel dim (always Mosaic-legal);
+        # head-group slices (G>1) must be 128-divisible on lanes
+        if num_heads % G or (G > 1 and (C // G) % 128):
+            continue
+        Cg = C // G
+        bq = _pick_bq(N)
+        while bq:
+            vmem = (2 * 2 * M * Cg * itemsize       # k + v, double-buffered
+                    + 2 * 2 * bq * Cg * itemsize    # q + out, double-buffered
+                    + 2 * bq * M * 4                # s + p fp32 stack tiles
+                    + bq * Cg * 4                   # o fp32 accumulator
+                    + (M * Cg * itemsize if qk_norm else 0))
+            if vmem <= 13 * 2**20:
+                choice = (G, bq)
+                break
+            bq = _pick_bq(bq // 2) if bq // 2 >= 128 else 0
+        if choice:
             break
-        if bk >= bq and bk > 128:
-            nb = _pick(bk // 2) if bk // 2 >= 128 else 0
-            if nb and M % nb == 0:
-                bk = nb
-                continue
-        nb = _pick(bq // 2) if bq // 2 >= 128 else 0
-        if not nb:
-            return None
-        bq = nb
-    else:
+    if choice is None:
         return None
-    nq, nk = N // bq, M // bk
+    G, bq = choice
+    Hg = num_heads // G
+    nq = N // bq
 
     def const_spec(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape, (lambda b, qi, ki: (0,) * nd),
+        return pl.BlockSpec(shape, (lambda b, g, qi: (0,) * nd),
                             memory_space=pltpu.VMEM)
 
     cast = lambda a: a.astype(jnp.float32)
+    Cg = C // G
     in_specs = [
-        pl.BlockSpec((1, bq, C), lambda b, qi, ki: (b, qi, 0),
+        pl.BlockSpec((1, bq, Cg), lambda b, g, qi: (b, qi, g),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, C), lambda b, qi, ki: (b, ki, 0),
+        pl.BlockSpec((1, M, Cg), lambda b, g, qi: (b, 0, g),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, C), lambda b, qi, ki: (b, ki, 0),
+        pl.BlockSpec((1, M, Cg), lambda b, g, qi: (b, 0, g),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
@@ -668,24 +678,21 @@ def pallas_flash_mha(
     bias_mode = "none"
     if bias is not None:
         bias_mode = "key"
-        in_specs.append(pl.BlockSpec((1, 1, bk), lambda b, qi, ki: (b, 0, ki),
+        in_specs.append(pl.BlockSpec((1, 1, M), lambda b, g, qi: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32)[:, None, :])
 
     return pl.pallas_call(
         _flash_mha_kernel(scale, eps, allow_zero_attn, qk_norm,
                           qn_beta is not None, kn_beta is not None, bias_mode,
-                          num_heads, Dh, nk, bk, M, q.dtype),
+                          Hg, Dh, q.dtype),
         out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
-        grid=(B, nq, nk),
+        grid=(B, G, nq),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, C), lambda b, qi, ki: (b, qi, 0),
+        out_specs=pl.BlockSpec((1, bq, Cg), lambda b, g, qi: (b, qi, g),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, C), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((M, Cg), q.dtype)] if qk_norm else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * N * M * Dh,

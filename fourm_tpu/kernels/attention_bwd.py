@@ -74,16 +74,21 @@ def _train_fwd_kernel(scale: float, allow_zero_attn: bool, bias_mode: str,
             b_ref = None
         bias = _bias_term(b_ref, bias_mode)
         for h in range(num_heads):
-            q = q_ref[0, h].astype(jnp.float32)  # (N, Dh)
-            k = k_ref[0, h].astype(jnp.float32)  # (M, Dh)
-            v = v_ref[0, h].astype(jnp.float32)
+            # native-dtype MXU dots, fp32 accumulation (bf16 products are
+            # exact in fp32; fp32-cast operands lower to the ~6x slower
+            # multi-pass fp32 matmul). Matches the XLA reference path, which
+            # also feeds bf16 operands to the MXU.
+            q = q_ref[0, h]  # (N, Dh)
+            k = k_ref[0, h]  # (M, Dh)
+            v = v_ref[0, h]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
             if bias is not None:
                 s = s + bias
             p = _softmax_p(s, allow_zero_attn)
-            o_ref[0, h] = jnp.dot(p, v, preferred_element_type=jnp.float32
+            o_ref[0, h] = jnp.dot(p.astype(v.dtype), v,
+                                  preferred_element_type=jnp.float32
                                   ).astype(o_ref.dtype)
 
     return kernel
@@ -99,11 +104,16 @@ def _train_bwd_kernel(scale: float, allow_zero_attn: bool, bias_mode: str,
             b_ref = None
         bias = _bias_term(b_ref, bias_mode)
         for h in range(num_heads):
-            q = q_ref[0, h].astype(jnp.float32)
-            k = k_ref[0, h].astype(jnp.float32)
-            v = v_ref[0, h].astype(jnp.float32)
+            # native-dtype MXU operands, fp32 accumulation (see fwd kernel);
+            # fp32 intermediates (p, ds) are cast to the compute dtype for
+            # their dots — the same cast XLA's autodiff of the bf16 attention
+            # einsums performs.
+            q = q_ref[0, h]
+            k = k_ref[0, h]
+            v = v_ref[0, h]
+            dt = q.dtype
             o = o_ref[0, h].astype(jnp.float32)
-            do = do_ref[0, h].astype(jnp.float32)
+            do = do_ref[0, h]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -113,11 +123,12 @@ def _train_bwd_kernel(scale: float, allow_zero_attn: bool, bias_mode: str,
             p = _softmax_p(s, allow_zero_attn)
 
             dv = jax.lax.dot_general(  # p^T do: (M, Dh)
-                p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                p.astype(dt), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(  # do v^T: (N, M)
                 do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            D = jnp.sum(do * o, axis=-1, keepdims=True)  # (N, 1)
-            ds = p * (dp - D)
+            D = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)  # (N, 1)
+            ds = (p * (dp - D)).astype(dt)
             dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
             dk = jax.lax.dot_general(  # ds^T q: (M, Dh)
                 ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
