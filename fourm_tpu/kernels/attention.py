@@ -615,42 +615,44 @@ def pallas_flash_mha(
     if M % 128:
         return None
 
-    # Group/blocking search: smallest G (fattest head groups, fewest K/V
-    # re-reads) whose working set fits. Per cell: resident K/V group blocks
-    # (2-buffered), q/out blocks, the (bq, M) fp32 s AND p stack tiles, the
-    # normed-K scratch. 13 MB accept bound (16 MB scoped-vmem limit minus
-    # Mosaic stack headroom) — the round-5 sweep measured (G=2, bq=256) at
-    # 13.0 MB modeled running fine while (G=2, bq=384) at 15.3 MB crashed
-    # the remote compiler.
-    def _pick_bq(n):
-        for c in (512, 384, 256, 128):
-            if c <= n and n % c == 0:
-                return c
-        return 0
-
-    choice = None
+    # Group/blocking search, calibrated against a 30-point on-chip sweep of
+    # (G, bq) x {M=768 B=32, M=1792 B=32, M=2304 B=16} scoped-vmem outcomes
+    # (2026-08-19; /tmp/flash_oom_sweep.py pattern). Mosaic keeps roughly one
+    # (bq, M) fp32 s/p tile pair LIVE PER UNROLLED HEAD, so the working-set
+    # model adds Hg*bq*M*4 on top of the stream/scratch terms; head groups
+    # with Hg > 6 blow the budget at every measured geometry (the round-4
+    # first-fit started at G=1/Hg=12 and OOM'd the B=32 CFG chain shapes).
+    # Among passing configs the LARGEST bq is fastest (MXU efficiency), with
+    # smallest G as the tie-break — this reproduces the measured-fastest
+    # config at all three sweep geometries (2.82/6.81/5.48 ms per call).
+    # 21 MB bound: the sweep's slowest accepted config modeled 20.3 MB and
+    # ran; its cheapest rejected config modeled 22.2 MB and OOM'd (16 MB
+    # scoped limit — the model intentionally overcounts streams).
+    candidates = []
     for G in range(1, num_heads + 1):
         # G=1 blocks carry the FULL channel dim (always Mosaic-legal);
         # head-group slices (G>1) must be 128-divisible on lanes
         if num_heads % G or (G > 1 and (C // G) % 128):
             continue
+        Hg_c = num_heads // G
+        if Hg_c > 6:
+            continue
         Cg = C // G
-        bq = _pick_bq(N)
-        while bq:
+        for bq in (512, 384, 256, 128):
+            if bq > N or N % bq:
+                continue
             vmem = (2 * 2 * M * Cg * itemsize       # k + v, double-buffered
                     + 2 * 2 * bq * Cg * itemsize    # q + out, double-buffered
                     + 2 * bq * M * 4                # s + p fp32 stack tiles
                     + bq * Cg * 4                   # o fp32 accumulator
-                    + (M * Cg * itemsize if qk_norm else 0))
-            if vmem <= 13 * 2**20:
-                choice = (G, bq)
-                break
-            bq = _pick_bq(bq // 2) if bq // 2 >= 128 else 0
-        if choice:
-            break
-    if choice is None:
+                    + (M * Cg * itemsize if qk_norm else 0)
+                    + Hg_c * bq * M * 4)            # per-unrolled-head live tiles
+            if vmem <= 21 * 2**20:
+                candidates.append((bq, -G))
+    if not candidates:
         return None
-    G, bq = choice
+    bq, negG = max(candidates)
+    G = -negG
     Hg = num_heads // G
     nq = N // bq
 
