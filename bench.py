@@ -26,8 +26,8 @@ Extra fields in the same JSON object:
   * toolchain: jax/jaxlib/libtpu versions + date + device kind — bench
     numbers are only comparable across rounds WITH this field (a round-4
     toolchain change silently inverted the fused-vs-XLA decode result).
-  * ar_decode_ms_per_token_{xla,fused,int8kv}: both decode paths measured
-    every run; the headline chain AUTO-SELECTS the faster of xla/fused
+  * ar_decode_ms_per_token_{xla,mxu,fused,int8kv}: every decode path measured
+    every run; the headline chain AUTO-SELECTS the fastest of xla/mxu/fused
     (headline_decode_path records which; ar_decode_ms_per_token = winner).
   * vs_baseline (top level): headline chain vs the analytical A100 eager
     estimate of the reference pipeline (the reference publishes no throughput
@@ -89,7 +89,8 @@ def toolchain_info(jax):
 
 
 def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label: str,
-                     conds=("rgb@224",), fused_decode: bool = False):
+                     conds=("rgb@224",), fused_decode: bool = False,
+                     decode_attn: str = "xla"):
     from fourm_tpu.api import FourMSampler
     from fourm_tpu.models import FourM, create_fourm_config
     from fourm_tpu.ops.transformer import use_pallas_attention
@@ -147,10 +148,11 @@ def bench_generation(jax, jnp, tok, model_name: str, batch: int, targets, label:
     # costs a round trip (~0.4 s/batch of pure transfer latency otherwise)
     mod_dict = jax.tree.map(jnp.asarray, mod_dict)
 
-    from fourm_tpu.ops.transformer import use_fused_decode
+    from fourm_tpu.ops.transformer import use_decode_attn, use_fused_decode
 
     def run(seed):
-        with use_pallas_attention(), use_fused_decode(fused_decode):
+        with use_pallas_attention(), use_fused_decode(fused_decode), \
+                use_decode_attn(decode_attn):
             out = sampler.generate(dict(mod_dict), schedule, seed=seed)
         for t in targets:  # fence with host fetches (axon tunnel quirk)
             _ = np.asarray(out[t]["tensor"][0, :1])
@@ -316,7 +318,7 @@ def bench_decode_microbench(jax, jnp):
     target = "caption"
     nsteps = 64
 
-    from fourm_tpu.ops.transformer import use_fused_decode
+    from fourm_tpu.ops.transformer import use_decode_attn, use_fused_decode
 
     with use_pallas_attention():
         prefill = jax.jit(lambda p, md: model.apply(
@@ -340,8 +342,9 @@ def bench_decode_microbench(jax, jnp):
             return jax.lax.fori_loop(0, nsteps, body, (tok, caches))
         return loop
 
-    def measure(ckvs, fused):
-        with use_pallas_attention(), use_fused_decode(fused):
+    def measure(ckvs, fused, decode_attn="xla"):
+        with use_pallas_attention(), use_fused_decode(fused), \
+                use_decode_attn(decode_attn):
             loop = make_loop()
             caches = jax.jit(lambda: model.apply(params, B, L,
                                                  method="init_kv_caches"))()
@@ -354,17 +357,20 @@ def bench_decode_microbench(jax, jnp):
             float(jnp.sum(t))
             return (time.perf_counter() - t0) / nsteps * 1e3
 
-    ms_bf16 = measure(cross_kvs, fused=False)  # production default (XLA)
-    ms_fused = measure(cross_kvs, fused=True)  # opt-in fused kernels
+    ms_bf16 = measure(cross_kvs, fused=False, decode_attn="xla")  # pure XLA
+    # XLA step shape with decode_attention on the MXU (pallas_decode_attention)
+    ms_mxu = measure(cross_kvs, fused=False, decode_attn="mxu")
+    ms_fused = measure(cross_kvs, fused=True)  # fully-fused step kernels
 
     def _q(kv):
         k_i8, ks, v_i8, vs = quantize_kv_decode(*kv)
         return ((k_i8, ks), (v_i8, vs))
 
     ms_int8 = measure([_q(kv) for kv in cross_kvs], fused=True)
-    print(f"# ar decode: {ms_bf16:.3f} ms/token default(xla), {ms_fused:.3f} "
-          f"fused, {ms_int8:.3f} fused-int8-KV (B={B}, M={M}, 12 layers)")
-    return ms_bf16, ms_fused, ms_int8
+    print(f"# ar decode: {ms_bf16:.3f} ms/token xla, {ms_mxu:.3f} mxu-attn, "
+          f"{ms_fused:.3f} fused, {ms_int8:.3f} fused-int8-KV "
+          f"(B={B}, M={M}, 12 layers)")
+    return ms_bf16, ms_mxu, ms_fused, ms_int8
 
 
 def main():
@@ -392,14 +398,19 @@ def main():
     # winner, i.e. what the headline chain actually runs (since round 5 —
     # in round 4 this key meant the XLA path, in rounds <=3 the fused path).
     fused_decode = False
+    decode_attn = "xla"
     try:
-        ms_xla, ms_fused, ms_int8 = bench_decode_microbench(jax, jnp)
+        ms_xla, ms_mxu, ms_fused, ms_int8 = bench_decode_microbench(jax, jnp)
         extras["ar_decode_ms_per_token_xla"] = round(ms_xla, 3)
+        extras["ar_decode_ms_per_token_mxu"] = round(ms_mxu, 3)
         extras["ar_decode_ms_per_token_fused"] = round(ms_fused, 3)
         extras["ar_decode_ms_per_token_int8kv"] = round(ms_int8, 3)
-        fused_decode = ms_fused < ms_xla
-        extras["ar_decode_ms_per_token"] = round(min(ms_xla, ms_fused), 3)
-        extras["headline_decode_path"] = "fused" if fused_decode else "xla"
+        winner = min(("xla", ms_xla), ("mxu", ms_mxu), ("fused", ms_fused),
+                     key=lambda kv: kv[1])
+        fused_decode = winner[0] == "fused"
+        decode_attn = "mxu" if winner[0] == "mxu" else "xla"
+        extras["ar_decode_ms_per_token"] = round(winner[1], 3)
+        extras["headline_decode_path"] = winner[0]
     except Exception as e:  # pragma: no cover
         print(f"# decode microbench failed: {e}")
         extras["headline_decode_path"] = "xla"
@@ -413,7 +424,7 @@ def main():
     sps = bench_generation(jax, jnp, tok, "fm_base_12e_12d_swiglu_qknorm_nobias",
                            batch=batch, targets=targets,
                            label=f"4M-21 B full 14-target chain (B={batch})",
-                           fused_decode=fused_decode)
+                           fused_decode=fused_decode, decode_attn=decode_attn)
 
     try:
         ips, roofline, roofline_hbm = bench_vq_tokenize(jax, jnp)
@@ -440,7 +451,7 @@ def main():
             xl = bench_generation(jax, jnp, tok, "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
                                   batch=4, targets=["tok_clip@224", "tok_semseg@224", "caption"],
                                   label="4M-21 XL 3-target chain",
-                                  fused_decode=fused_decode)
+                                  fused_decode=fused_decode, decode_attn=decode_attn)
             extras["xl_chain_samples_per_sec"] = round(xl, 3)
             # the BASELINE north star is the XL ratio: measured v5e XL chain vs
             # the analytical reference-on-A100 estimate of the SAME chain
@@ -467,7 +478,7 @@ def main():
                                    "fm_xlarge_24e_24d_swiglu_qknorm_nobias",
                                    batch=4, targets=targets,
                                    label="4M-21 XL FULL 14-target chain",
-                                   fused_decode=fused_decode)
+                                   fused_decode=fused_decode, decode_attn=decode_attn)
             extras["xl_full_chain_samples_per_sec"] = round(xlf, 3)
             try:
                 sys.path.insert(0, os.path.join(
@@ -493,7 +504,7 @@ def main():
                                   batch=4, targets=list(DEFAULT_ORDER_SR),
                                   label="SR 448 chain (L)",
                                   conds=("rgb@224", "tok_rgb@224"),
-                                  fused_decode=fused_decode)
+                                  fused_decode=fused_decode, decode_attn=decode_attn)
             extras["sr448_samples_per_sec"] = round(sr, 3)
             try:
                 sys.path.insert(0, os.path.join(

@@ -526,6 +526,184 @@ def quantize_kv_decode(k_dm: jnp.ndarray, v_dm: jnp.ndarray):
     return k_i8, ks, v_i8, vs
 
 
+def _decode_attn_kernel(scale, allow_zero_attn, has_bias, bias_per_head,
+                        head_dim, h_blk, n_mblocks):
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref = next(it)  # (1, 1, h_blk*Dh) compute dtype
+        k_ref = next(it)  # (1, h_blk, Dh, bm) compute dtype
+        v_ref = next(it)
+        b_ref = next(it) if has_bias else None  # (1, 1|h_blk, bm) fp32
+        o_ref = next(it)  # (1, 1, h_blk*Dh)
+        m_scr = next(it)  # (1, 128) fp32 running max per local head
+        l_scr = next(it)  # (1, 128) fp32 running denom
+        acc_scr = next(it)  # (1, h_blk*Dh) fp32
+
+        mi = pl.program_id(2)
+
+        @pl.when(mi == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        for lh in range(h_blk):
+            sl = slice(lh * head_dim, (lh + 1) * head_dim)
+            q_h = q_ref[0, :, sl]  # (1, Dh) compute dtype
+            k_h = k_ref[0, lh]  # (Dh, bm) compute dtype — native MXU operand
+            v_h = v_ref[0, lh]
+            # MXU dot with fp32 accumulation: bf16 products are exact in
+            # fp32, matching ops.transformer.decode_attention's fp32 VPU
+            # reduce — but streamed through the MXU with NO fp32 conversion
+            # pass over the KV block (the VPU form in pallas_cross_decode_attn
+            # materializes fp32 copies of every block; that conversion is
+            # why it loses to XLA on the 2026-08-18 toolchain)
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (1, bm) fp32
+            if b_ref is not None:
+                s = s + b_ref[0, lh if bias_per_head else 0]
+            m_prev = m_scr[:, lh : lh + 1]  # (1, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)  # (1, bm) fp32
+            alpha = jnp.exp(m_prev - m_new)  # (1, 1)
+            l_scr[:, lh : lh + 1] = l_scr[:, lh : lh + 1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True)
+            # p @ v over the bm lanes: contract p's lane dim with v's lane
+            # dim -> (1, Dh); probs cast to the compute dtype exactly as the
+            # XLA path casts (probs.astype(v.dtype))
+            pv = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (1, Dh)
+            acc_scr[:, sl] = acc_scr[:, sl] * alpha + pv
+            m_scr[:, lh : lh + 1] = m_new
+
+        @pl.when(mi == n_mblocks - 1)
+        def _():
+            for lh in range(h_blk):
+                sl = slice(lh * head_dim, (lh + 1) * head_dim)
+                l_fin = l_scr[:, lh : lh + 1]  # (1, 1)
+                if allow_zero_attn:  # softmax1: virtual zero logit
+                    l_fin = l_fin + jnp.exp(-m_scr[:, lh : lh + 1])
+                o_ref[0, :, sl] = (acc_scr[:, sl] / l_fin).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("allow_zero_attn", "interpret"))
+def pallas_decode_attention(
+    q: jnp.ndarray,  # (B, H, 1, Dh)
+    k_dm: jnp.ndarray,  # (B, H, Dh, M) decode layout
+    v_dm: jnp.ndarray,
+    bias=None,  # fp32 (B|1, 1|H, M) additive, or None
+    allow_zero_attn: bool = False,
+    interpret: bool = False,
+):
+    """Single-query attention against (B, H, Dh, M) decode-layout K/V on the
+    MXU — a drop-in for ops.transformer.decode_attention (same signature,
+    same fp32-accumulation math; reference semantics fm.py:485/515 decode).
+
+    Grid (B, head-group, M-block) with an online softmax over M-blocks. Each
+    cell streams its (h_blk, Dh, bm) K/V block ONCE in the compute dtype and
+    contracts it on the MXU ((1, Dh) @ (Dh, bm) logits, (1, bm) @ (bm, Dh)^T
+    p@V) — the bet was that native-bf16 MXU operands beat the VPU's fp32
+    conversion pass. MEASURED RESULT (2026-08-19 toolchain, jax 0.9.0 /
+    libtpu 0.0.34): it loses in the production decode loop — 5.24 ms/token
+    vs 4.06 XLA at 4M-B chain shapes (B=16, M=2304). The single-row dots
+    are launch/latency-bound (~234 us per 3.5 MB grid cell, 15 GB/s
+    effective), not bandwidth-bound. Kept as a parity-tested opt-in raced by
+    bench.py every run (use_decode_attn / FOURM_DECODE_ATTN=mxu); a future
+    toolchain may invert this the way round-4's inverted the fused-step
+    kernels. Returns (B, H, 1, Dh), or None when no lane-aligned blocking
+    fits VMEM (caller falls back to XLA).
+    """
+    B, H, _, Dh = q.shape
+    M = k_dm.shape[3]
+    if M % 128:
+        return None
+    scale = Dh**-0.5
+    itemsize = jnp.dtype(q.dtype).itemsize
+    kv_itemsize = jnp.dtype(k_dm.dtype).itemsize
+
+    bias_ph = bias is not None and bias.shape[1] != 1
+    best = None
+    for h_blk in _divisors_desc(H):
+        # Mosaic: block last dims must be 128-divisible or the full dim
+        if h_blk != H and (h_blk * Dh) % 128 != 0:
+            continue
+        # per-head bias block is (1, h_blk, bm): its sublane dim must be
+        # 8-divisible or the full head dim
+        if bias_ph and h_blk != H and h_blk % 8:
+            continue
+        for bm in (M, 4096, 3072, 2304, 2048, 1536, 1152, 1024, 768, 512,
+                   384, 256, 128):
+            if bm > M or M % bm or (bm != M and bm % 128):
+                continue
+            stream = 2 * 2 * h_blk * Dh * bm * kv_itemsize  # k+v, 2-buffered
+            resident = (2 * 2 * h_blk * Dh * itemsize  # q + out blocks
+                        + (2 * bm * 4 if bias is not None else 0)
+                        + h_blk * Dh * 4 + 2 * 128 * 4  # acc + m/l scratch
+                        + h_blk * 2 * bm * 4)  # per-unrolled-head live s/p
+            if stream + resident <= _VMEM_BUDGET:
+                cells = (H // h_blk) * (M // bm)
+                if best is None or cells < best[0]:
+                    best = (cells, h_blk, bm)
+                break
+    if best is None:
+        return None
+    _, h_blk, bm = best
+    n_h, n_m = H // h_blk, M // bm
+    _debug_blocks("decode_attention", B=B, H=H, Dh=Dh, M=M, h_blk=h_blk,
+                  bm=bm)
+
+    # q/out ride as (B, 1, C): Mosaic requires a block's second-to-last dim
+    # to be 8-divisible or the full array dim — (1, C') blocks of a (B, C)
+    # array violate that, (1, 1, C') blocks of (B, 1, C) don't
+    q2 = q.reshape(B, 1, H * Dh)
+    in_specs = [
+        pl.BlockSpec((1, 1, h_blk * Dh), lambda b, hi, mi: (b, 0, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_blk, Dh, bm), lambda b, hi, mi: (b, hi, 0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_blk, Dh, bm), lambda b, hi, mi: (b, hi, 0, mi),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q2, k_dm, v_dm]
+    bias_per_head = False
+    if bias is not None:
+        bias_per_head = bias.shape[1] != 1
+        b_bcast = bias.shape[0] == 1  # (1, ·, M): same rows for every b
+        bspec = pl.BlockSpec(
+            (1, h_blk if bias_per_head else 1, bm),
+            (lambda b, hi, mi: (0 if b_bcast else b,
+                                hi if bias_per_head else 0, mi)),
+            memory_space=pltpu.VMEM)
+        in_specs.append(bspec)
+        args.append(bias.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        _decode_attn_kernel(scale, allow_zero_attn, bias is not None,
+                            bias_per_head, Dh, h_blk, n_m),
+        out_shape=jax.ShapeDtypeStruct((B, 1, H * Dh), q.dtype),
+        grid=(B, n_h, n_m),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, h_blk * Dh), lambda b, hi, mi: (b, 0, hi),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), jnp.float32),  # running max per local head
+            pltpu.VMEM((1, 128), jnp.float32),  # running denom
+            pltpu.VMEM((1, h_blk * Dh), jnp.float32),  # fp32 accumulator
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * M * Dh,
+            bytes_accessed=(k_dm.size + v_dm.size) * kv_itemsize,
+            transcendentals=B * H * M,
+        ),
+    )(*args)
+    return out.reshape(B, H, 1, Dh)
+
+
 def _residual_mlp_kernel(eps, gated, act_silu, has_bp, norm_bias, mlp_bias,
                          compute_dtype):
     def kernel(*refs):

@@ -144,6 +144,42 @@ class use_fused_decode:
         _FUSED_DECODE.reset(self._tokens.pop())
 
 
+# Decode-attention implementation switch: "xla" (fused convert+multiply+
+# sublane-reduce on the VPU, the default) vs "mxu" (kernels/decode_step.py
+# pallas_decode_attention — streams the KV blocks through the MXU as native
+# bf16 operands). On the 2026-08-19 toolchain (jax 0.9.0/libtpu 0.0.34) the
+# MXU form LOSES in the production decode loop (5.24 vs 4.06 ms/token at
+# 4M-B chain shapes — single-row MXU dots are launch/latency-bound, not
+# bandwidth-bound); it stays parity-tested and bench.py races every path
+# each run and auto-selects the winner (headline_decode_path records it).
+# Same trace-time ContextVar semantics as the switches above.
+_DECODE_ATTN = _contextvars.ContextVar("fourm_decode_attn", default=None)
+
+
+def _decode_attn_impl() -> str:
+    val = _DECODE_ATTN.get()
+    if val is None:  # unset: fall back to the env var, read lazily
+        return _os.environ.get("FOURM_DECODE_ATTN", "xla")
+    return val
+
+
+class use_decode_attn:
+    """Context manager: select the decode-attention implementation ("mxu" or
+    "xla"). TRACE-TIME switch, not a jit-cache key — jit a fresh closure
+    inside the context (see use_fused_decode). Re-entrant and thread-safe."""
+
+    def __init__(self, impl: str = "mxu"):
+        assert impl in ("xla", "mxu")
+        self.val = impl
+        self._tokens = []  # stack: one instance may be nested re-entrantly
+
+    def __enter__(self):
+        self._tokens.append(_DECODE_ATTN.set(self.val))
+
+    def __exit__(self, *exc):
+        _DECODE_ATTN.reset(self._tokens.pop())
+
+
 def set_attention_impl(impl: str):
     assert impl in ("xla", "pallas", "pallas_train")
     _ATTN_IMPL.set(impl)
@@ -241,6 +277,12 @@ def decode_attention(
 
     Returns (B, H, 1, Dh).
     """
+    if _decode_attn_impl() == "mxu" and jax.default_backend() == "tpu":
+        from ..kernels.decode_step import pallas_decode_attention
+
+        out = pallas_decode_attention(q, k_dm, v_dm, bias, allow_zero_attn)
+        if out is not None:
+            return out
     scale = q.shape[-1] ** -0.5
     q_d = jnp.swapaxes(q, 2, 3).astype(jnp.float32)  # (B, H, Dh, 1)
     logits = jnp.sum(q_d * k_dm.astype(jnp.float32), axis=2)  # (B, H, M)

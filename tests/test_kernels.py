@@ -883,3 +883,100 @@ class TestInt8CrossKV:
         # everywhere (quantization can flip near-ties)
         agree = (outs[None] == outs["int8"]).mean()
         assert agree > 0.9, agree
+
+
+class TestMXUDecodeAttention:
+    """pallas_decode_attention (MXU single-query attention) vs the XLA form of
+    ops.transformer.decode_attention — the drop-in contract behind the
+    use_decode_attn("mxu") switch (raced by bench.py every run)."""
+
+    def _xla(self, q, k_dm, v_dm, bias, aza):
+        # the XLA body of decode_attention (the CPU backend gate already
+        # routes there, but call the math directly so the oracle is explicit)
+        from fourm_tpu.ops.transformer import softmax1
+
+        scale = q.shape[-1] ** -0.5
+        q_d = jnp.swapaxes(q, 2, 3).astype(jnp.float32)
+        logits = jnp.sum(q_d * k_dm.astype(jnp.float32), axis=2) * scale
+        if bias is not None:
+            logits = logits + bias
+        probs = softmax1(logits) if aza else jax.nn.softmax(logits, axis=-1)
+        probs = probs.astype(v_dm.dtype)
+        out = jnp.sum(probs[:, :, None, :] * v_dm, axis=3)
+        return out[:, :, None, :].astype(q.dtype)
+
+    @pytest.mark.parametrize("bias_kind,aza", [
+        (None, False), ("b1m", False), ("bhm", True), ("11m", False)])
+    def test_parity(self, bias_kind, aza):
+        from fourm_tpu.kernels.decode_step import pallas_decode_attention
+        from fourm_tpu.ops.transformer import MASK_FILL_VALUE
+
+        B, H, Dh, M = 2, 4, 64, 256
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, H, 1, Dh), jnp.float32) * 0.3
+        k_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.3
+        v_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.3
+        if bias_kind is None:
+            bias = None
+        elif bias_kind == "b1m":  # cross-attention mask shape
+            bias = jnp.where(jnp.asarray(rng.rand(B, 1, M) > 0.7),
+                             MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        elif bias_kind == "bhm":  # per-head bias
+            bias = jnp.where(jnp.asarray(rng.rand(B, H, M) > 0.7),
+                             MASK_FILL_VALUE, 0.0).astype(jnp.float32)
+        else:  # (1, 1, M): the self-attention step_idx mask shape
+            pos = jnp.arange(M)
+            bias = jnp.where(pos[None, None, :] <= 37, 0.0,
+                             MASK_FILL_VALUE).astype(jnp.float32)
+        out = pallas_decode_attention(q, k_dm, v_dm, bias, aza,
+                                      interpret=True)
+        assert out is not None
+        want = self._xla(q, k_dm, v_dm, bias, aza)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_multiblock_online_softmax(self):
+        """Force multiple M-blocks so the online-softmax rescale runs: M big
+        enough that the VMEM model splits it (monkeypatch the budget down)."""
+        import fourm_tpu.kernels.decode_step as ds
+        from fourm_tpu.kernels.decode_step import pallas_decode_attention
+
+        B, H, Dh, M = 1, 2, 64, 512
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(B, H, 1, Dh), jnp.float32) * 0.5
+        k_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.5
+        v_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.5
+        old = ds._VMEM_BUDGET
+        try:
+            ds._VMEM_BUDGET = 300 * 1024  # forces bm=128 -> 4 online blocks
+            out = pallas_decode_attention(q, k_dm, v_dm, None, False,
+                                          interpret=True)
+        finally:
+            ds._VMEM_BUDGET = old
+        assert out is not None
+        want = self._xla(q, k_dm, v_dm, None, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_switch_module_path(self, monkeypatch):
+        """decode_attention under use_decode_attn("mxu") routes through the
+        kernel (backend gate monkeypatched) and matches the XLA default."""
+        import functools
+        import fourm_tpu.kernels.decode_step as ds
+        import fourm_tpu.ops.transformer as tr
+
+        B, H, Dh, M = 2, 2, 64, 128
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(B, H, 1, Dh), jnp.float32) * 0.3
+        k_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.3
+        v_dm = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32) * 0.3
+        want = tr.decode_attention(q, k_dm, v_dm, None, False)
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            ds, "pallas_decode_attention",
+            functools.partial(ds.pallas_decode_attention, interpret=True))
+        with tr.use_decode_attn("mxu"):
+            got = tr.decode_attention(q, k_dm, v_dm, None, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
