@@ -111,10 +111,13 @@ class GenerationSampler:
                  kv_quant: Optional[str] = None):
         """kv_quant='int8': quantize the per-layer cross-attention K/V to
         int8 with per-(batch, head, channel) scales after each AR prefill —
-        halves the dominant per-token HBM read of the decode loop (the
-        cross-KV stream, 113 MB/layer at 4M-B chain shapes). Opt-in: output
-        tokens can differ from the bf16 path within quantization error
-        (kernels/decode_step.py:quantize_kv_decode)."""
+        halves the BYTES of the dominant per-token HBM read (the cross-KV
+        stream, 113 MB/layer at 4M-B chain shapes), but on the current
+        toolchain the int8 kernel path measures SLOWER end-to-end than bf16
+        (bench.py ar_decode_ms_per_token_int8kv ~4.99 vs 4.06 xla,
+        2026-08-19) — treat as a parity-tested oracle until a toolchain
+        makes it win. Opt-in: output tokens can differ from the bf16 path
+        within quantization error (kernels/decode_step.py:quantize_kv_decode)."""
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {kv_quant!r}")
         self.model = model
