@@ -114,13 +114,6 @@ dt_enc = timeit(enc, state.params, batch,
                 fence=lambda o: float(jnp.sum(o[0][0, 0].astype(jnp.float32))),
                 label="  encoder fwd (embed+select+12 blocks)")
 
-full_fwd_parts = None
-try:
-    ctx = jax.jit(lambda p, b: model.apply(
-        p, model.apply(p, b, 128, method="encode")[0], method="noop"))
-except Exception:
-    pass
-
 print(f"\nderived: backward-only ~ {1e3*(dt_fb - dt_fwd):.2f} ms; "
       f"step - (fwd+bwd) - opt ~ {1e3*(dt_step - dt_fb - dt_opt):.2f} ms "
       f"(overlap/donation delta)")
