@@ -350,17 +350,25 @@ def bench_decode_microbench(jax, jnp):
                                                  method="init_kv_caches"))()
             t, c = loop(params, tok0, caches, ckvs, enc_mask, y_emb)
             float(jnp.sum(t))  # fence (tunnel-safe)
-            caches = jax.jit(lambda: model.apply(params, B, L,
-                                                 method="init_kv_caches"))()
-            t0 = time.perf_counter()
-            t, c = loop(params, tok0, caches, ckvs, enc_mask, y_emb)
-            float(jnp.sum(t))
-            return (time.perf_counter() - t0) / nsteps * 1e3
+            best = None
+            for _ in range(3):  # min-of-3: the tunnel adds ~10% run noise,
+                # and this timing picks the headline decode path
+                caches = jax.jit(lambda: model.apply(params, B, L,
+                                                     method="init_kv_caches"))()
+                t0 = time.perf_counter()
+                t, c = loop(params, tok0, caches, ckvs, enc_mask, y_emb)
+                float(jnp.sum(t))
+                ms = (time.perf_counter() - t0) / nsteps * 1e3
+                best = ms if best is None else min(best, ms)
+            return best
 
     ms_bf16 = measure(cross_kvs, fused=False, decode_attn="xla")  # pure XLA
     # XLA step shape with decode_attention on the MXU (pallas_decode_attention)
     ms_mxu = measure(cross_kvs, fused=False, decode_attn="mxu")
     ms_fused = measure(cross_kvs, fused=True)  # fully-fused step kernels
+    # fused self+MLP kernels, XLA cross-attention (the round-5 ablation split:
+    # cross is at the HBM floor in XLA; self/MLP carry the recoverable slack)
+    ms_hybrid = measure(cross_kvs, fused="hybrid")
 
     def _q(kv):
         k_i8, ks, v_i8, vs = quantize_kv_decode(*kv)
@@ -368,9 +376,9 @@ def bench_decode_microbench(jax, jnp):
 
     ms_int8 = measure([_q(kv) for kv in cross_kvs], fused=True)
     print(f"# ar decode: {ms_bf16:.3f} ms/token xla, {ms_mxu:.3f} mxu-attn, "
-          f"{ms_fused:.3f} fused, {ms_int8:.3f} fused-int8-KV "
-          f"(B={B}, M={M}, 12 layers)")
-    return ms_bf16, ms_mxu, ms_fused, ms_int8
+          f"{ms_fused:.3f} fused, {ms_hybrid:.3f} hybrid, "
+          f"{ms_int8:.3f} fused-int8-KV (B={B}, M={M}, 12 layers)")
+    return ms_bf16, ms_mxu, ms_fused, ms_hybrid, ms_int8
 
 
 def main():
@@ -400,14 +408,16 @@ def main():
     fused_decode = False
     decode_attn = "xla"
     try:
-        ms_xla, ms_mxu, ms_fused, ms_int8 = bench_decode_microbench(jax, jnp)
+        ms_xla, ms_mxu, ms_fused, ms_hybrid, ms_int8 = \
+            bench_decode_microbench(jax, jnp)
         extras["ar_decode_ms_per_token_xla"] = round(ms_xla, 3)
         extras["ar_decode_ms_per_token_mxu"] = round(ms_mxu, 3)
         extras["ar_decode_ms_per_token_fused"] = round(ms_fused, 3)
+        extras["ar_decode_ms_per_token_hybrid"] = round(ms_hybrid, 3)
         extras["ar_decode_ms_per_token_int8kv"] = round(ms_int8, 3)
         winner = min(("xla", ms_xla), ("mxu", ms_mxu), ("fused", ms_fused),
-                     key=lambda kv: kv[1])
-        fused_decode = winner[0] == "fused"
+                     ("hybrid", ms_hybrid), key=lambda kv: kv[1])
+        fused_decode = {"fused": True, "hybrid": "hybrid"}.get(winner[0], False)
         decode_attn = "mxu" if winner[0] == "mxu" else "xla"
         extras["ar_decode_ms_per_token"] = round(winner[1], 3)
         extras["headline_decode_path"] = winner[0]

@@ -105,35 +105,50 @@ def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.nd
 # (bench.py make_loop is the pattern).
 _ATTN_IMPL = _contextvars.ContextVar("fourm_attn_impl", default="xla")
 
-# Fused Pallas decode-step switch (DecoderBlock._fused_step). Default OFF:
-# on the 2026-08-18 toolchain (jax 0.9.0 / libtpu 0.0.34) the XLA decode path
-# measures FASTER than the fused kernels at 4M-B chain shapes (bench.py
+# Fused Pallas decode-step switch (DecoderBlock._fused_step). Three modes:
+#   "off"    — pure XLA step (the default)
+#   "on"     — all three fused kernels (self-decode, cross-decode, MLP)
+#   "hybrid" — fused kernels for self-attention + MLP, XLA decode_attention
+#              for the cross-attention KV stream. Motivation (round-5
+#              ablation, scripts/profile_decode_ablate.py): the XLA cross
+#              read runs within 4% of the achievable HBM floor (576 GB/s on
+#              the 1.3 GiB/token stream), so only the self/MLP slack
+#              (~0.9 ms of 3.46 ms/token) is recoverable by kernels — the
+#              all-fused mode loses exactly because its cross kernel is
+#              slower than XLA's.
+# On the 2026-08-18 toolchain (jax 0.9.0 / libtpu 0.0.34) the XLA decode path
+# measures FASTER than the all-fused kernels at 4M-B chain shapes (bench.py
 # ar_decode_ms_per_token 3.56 xla vs 3.91 fused — the pre-outage round-4
-# toolchain measured the opposite, 185 vs 284 us/layer-step). The kernels
-# stay parity-tested; re-measure per toolchain via bench.py and flip with
-# FOURM_FUSED_DECODE=1 (read lazily, so post-import exports take effect) or
-# use_fused_decode(). int8 cross-KV always routes through the fused kernel
-# (the XLA fallback dequantizes — oracle only).
+# toolchain measured the opposite, 185 vs 284 us/layer-step). All kernels
+# stay parity-tested; bench.py races every mode each run and auto-selects.
+# Flip manually with FOURM_FUSED_DECODE=1|hybrid (read lazily, so post-import
+# exports take effect) or use_fused_decode(). int8 cross-KV always routes
+# through the fused cross kernel (the XLA fallback dequantizes — oracle only).
 import os as _os
 
 _FUSED_DECODE = _contextvars.ContextVar("fourm_fused_decode", default=None)
 
 
-def _fused_decode_enabled() -> bool:
+def _fused_decode_mode() -> str:
     val = _FUSED_DECODE.get()
     if val is None:  # unset: fall back to the env var, read lazily
-        return _os.environ.get("FOURM_FUSED_DECODE", "0") == "1"
-    return val
+        val = _os.environ.get("FOURM_FUSED_DECODE", "0")
+    if val in (True, 1, "1", "on"):
+        return "on"
+    if val == "hybrid":
+        return "hybrid"
+    return "off"
 
 
 class use_fused_decode:
-    """Context manager: enable the fused Pallas decode-step kernels.
+    """Context manager: select the fused Pallas decode-step mode
+    (True/"on", "hybrid", or False/"off" — see _FUSED_DECODE).
 
     TRACE-TIME switch, not a jit-cache key: any function jitted outside (or
     under a different setting) keeps its old trace — jit a fresh closure
     inside the context. Re-entrant and thread-safe (ContextVar-backed)."""
 
-    def __init__(self, enable: bool = True):
+    def __init__(self, enable=True):
         self.val = enable
         self._tokens = []  # stack: one instance may be nested re-entrantly
 
@@ -913,7 +928,8 @@ class DecoderBlock(nn.Module):
         the fused-decode switch is off (the default — see _FUSED_DECODE;
         int8 cross-KV tuples always take the kernel, it is their only
         production path)."""
-        if not (_fused_decode_enabled() or isinstance(cross_k, tuple)):
+        mode = _fused_decode_mode()
+        if mode == "off" and not isinstance(cross_k, tuple):
             return None
         if not _fused_eligible(None, False, 64, min_rows=0):
             return None
@@ -945,27 +961,38 @@ class DecoderBlock(nn.Module):
         wp, bp = self.self_attn._proj(C)
         x2 = x2 + _dense(attn, wp, bp, dt)
 
-        qn_g, qn_b = self.query_norm(x2, return_params=True)
-        wqx, bqx = self.cross_attn._q(C)
         wpx, bpx = self.cross_attn._proj(C)
-        if self.qk_norm:
-            cqg, cqb = self.cross_attn.q_norm(x2[:, :Dh], return_params=True)
-        else:
-            cqg = cqb = None
         bias = None
         if xa_mask is not None:
             m2 = xa_mask[:, 0] if xa_mask.ndim == 3 else xa_mask
             bias = jnp.where(m2, MASK_FILL_VALUE, 0.0).astype(jnp.float32)
-        k_scale = v_scale = None
-        if isinstance(cross_k, tuple):  # int8 KV: (i8, per-channel scale)
-            (cross_k, k_scale), (cross_v, v_scale) = cross_k, cross_v
-        attn_x = pallas_cross_decode_attn(
-            x2, qn_g, qn_b, wqx.astype(dt), bqx, cqg, cqb, cross_k, cross_v,
-            bias, H, eps=self.query_norm.eps,
-            allow_zero_attn=self.allow_zero_attn,
-            k_scale=k_scale, v_scale=v_scale)
-        if attn_x is None:
-            return None
+        if mode == "hybrid" and not isinstance(cross_k, tuple):
+            # XLA cross-attention (measured within 4% of the pure-read HBM
+            # floor on the dominant cross-KV stream — see _FUSED_DECODE);
+            # raw head outputs feed pallas_residual_mlp, which owns the
+            # out-proj + residual
+            q = self.cross_attn.project_q(self.query_norm(x2[:, None, :]))
+            raw = decode_attention(q, cross_k, cross_v,
+                                   None if bias is None else bias[:, None, :],
+                                   self.allow_zero_attn)
+            attn_x = jnp.moveaxis(raw, 1, 2).reshape(B, C).astype(dt)
+        else:
+            qn_g, qn_b = self.query_norm(x2, return_params=True)
+            wqx, bqx = self.cross_attn._q(C)
+            if self.qk_norm:
+                cqg, cqb = self.cross_attn.q_norm(x2[:, :Dh], return_params=True)
+            else:
+                cqg = cqb = None
+            k_scale = v_scale = None
+            if isinstance(cross_k, tuple):  # int8 KV: (i8, per-channel scale)
+                (cross_k, k_scale), (cross_v, v_scale) = cross_k, cross_v
+            attn_x = pallas_cross_decode_attn(
+                x2, qn_g, qn_b, wqx.astype(dt), bqx, cqg, cqb, cross_k, cross_v,
+                bias, H, eps=self.query_norm.eps,
+                allow_zero_attn=self.allow_zero_attn,
+                k_scale=k_scale, v_scale=v_scale)
+            if attn_x is None:
+                return None
 
         out = None
         if self.mlp.act is nn.silu or self.mlp.act is gelu_exact:

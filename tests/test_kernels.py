@@ -661,8 +661,9 @@ class TestDecodeStepKernels:
         np.testing.assert_allclose(np.asarray(attn), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("mode", [True, "hybrid"])
     @pytest.mark.parametrize("qk_norm,gated", [(False, False), (True, True)])
-    def test_fused_step_module_path(self, qk_norm, gated, monkeypatch):
+    def test_fused_step_module_path(self, qk_norm, gated, mode, monkeypatch):
         """Drive DecoderBlock._fused_step itself (param extraction + kernel
         wiring) on CPU: monkeypatch the backend gate and force interpret mode.
         Catches wiring bugs the direct-kernel tests can't (e.g. return_params
@@ -697,7 +698,7 @@ class TestDecodeStepKernels:
             pallas_residual_mlp_orig, interpret=True))
         from fourm_tpu.ops.transformer import (use_fused_decode,
                                                use_pallas_attention)
-        with use_pallas_attention(), use_fused_decode():
+        with use_pallas_attention(), use_fused_decode(mode):
             got = blk.apply(params, x_t, cache_k, cache_v, cross_k, cross_v,
                             xa_mask, step_idx, method="step")
         for g, w in zip(got, want):
